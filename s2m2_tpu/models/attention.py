@@ -1,0 +1,164 @@
+"""Attention primitives and block wrappers.
+
+Functional NHWC re-design of the reference attention stack
+(reference: src/s2m2/core/model/attentions.py). All LayerNorms are
+affine-free pre-norms (reference: attentions.py:117,148,182). Softmax and
+normalization statistics run in fp32; matmuls run in the compute dtype
+(MXU bf16 path) with fp32 accumulation.
+
+Two attention families:
+  * scanline (1D) attention: every image row is an independent sequence —
+    rows fold into the batch axis, which on TPU is embarrassingly parallel
+    and shards freely over the mesh 'band' axis.
+  * global (2D) attention at the 1/32 bottleneck, optionally with the
+    factorized sinc relative PE (see pe.py) and symmetric cross-view
+    attention between the left/right halves of the batch.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import layers
+from .pe import pe_contract
+
+
+def _split_heads(x, num_heads):
+    b, n, d = x.shape
+    return x.reshape(b, n, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    b, h, n, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+
+
+def sdpa(q, k, v):
+    """Scaled dot-product attention, fp32 softmax, (B, heads, N, D) layout."""
+    scale = q.shape[-1] ** -0.5
+    score = jnp.einsum("bhic,bhjc->bhij", q * scale, k,
+                       preferred_element_type=jnp.float32)
+    attn = jax.nn.softmax(score, axis=-1)
+    return jnp.einsum("bhij,bhjc->bhic", attn.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+def self_attn(p, x, num_heads, pe=None):
+    """Self attention on (B, N, C) tokens (reference: attentions.py:8-54).
+
+    pe: None, or (ty, tx, h, w) — factorized relative-PE context. With PE the
+    attention matrix is materialized (needed for the PE contraction), exactly
+    as the reference does on its use_pe path.
+    """
+    q = _split_heads(layers.linear(p["q"], x), num_heads)
+    k = _split_heads(layers.linear(p["k"], x), num_heads)
+    v = _split_heads(layers.linear(p["v"], x), num_heads)
+    if pe is not None:
+        ty, tx, h, w = pe
+        scale = q.shape[-1] ** -0.5
+        score = jnp.einsum("bhic,bhjc->bhij", q * scale, k,
+                           preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(score, axis=-1)
+        out = jnp.einsum("bhij,bhjc->bhic", attn.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32).astype(v.dtype)
+        pe_sum = pe_contract(attn, ty, tx, h, w).astype(v.dtype)
+        out = out + layers.linear(p["pe_proj"], pe_sum)
+    else:
+        out = sdpa(q, k, v)
+    return layers.linear(p["proj"], _merge_heads(out))
+
+
+def cross_attn(p, x, y, num_heads):
+    """Symmetric weight-shared bidirectional cross attention
+    (reference: attentions.py:57-96)."""
+    qx = _split_heads(layers.linear(p["q"], x), num_heads)
+    kx = _split_heads(layers.linear(p["k"], x), num_heads)
+    vx = _split_heads(layers.linear(p["v"], x), num_heads)
+    qy = _split_heads(layers.linear(p["q"], y), num_heads)
+    ky = _split_heads(layers.linear(p["k"], y), num_heads)
+    vy = _split_heads(layers.linear(p["v"], y), num_heads)
+    x_out = layers.linear(p["proj"], _merge_heads(sdpa(qx, ky, vy)))
+    y_out = layers.linear(p["proj"], _merge_heads(sdpa(qy, kx, vx)))
+    return x_out, y_out
+
+
+# ---------------------------------------------------------------------------
+# Block wrappers. All take z of shape (B, H, W, C) (NHWC; the reference keeps
+# NCHW and permutes per block — we are channel-last throughout).
+# ---------------------------------------------------------------------------
+
+def self_attn_block_1d(p, z, num_heads):
+    """Scanline self attention: rows fold into batch (reference: 99-128)."""
+    b, h, w, c = z.shape
+    zf = z.reshape(b * h, w, c)
+    out = self_attn(p["attn"], layers.layer_norm(zf), num_heads) + zf
+    return out.reshape(b, h, w, c)
+
+
+def cross_attn_block_1d(p, z, num_heads):
+    """Scanline cross-view attention. z is (2B, H, W, C), left half then right
+    half on the batch axis (reference: 131-161)."""
+    z_norm = layers.layer_norm(z)
+    x, y = jnp.split(z_norm, 2, axis=0)
+    b, h, w, c = x.shape
+    x, y = x.reshape(b * h, w, c), y.reshape(b * h, w, c)
+    x, y = cross_attn(p["attn"], x, y, num_heads)
+    out = jnp.concatenate([x.reshape(b, h, w, c), y.reshape(b, h, w, c)], axis=0)
+    return out + z
+
+
+def self_attn_block_2d(p, z, num_heads, pe=None):
+    """Global 2D self attention over HW tokens (reference: 165-193)."""
+    b, h, w, c = z.shape
+    zf = z.reshape(b, h * w, c)
+    pe_ctx = None if pe is None else (pe[0], pe[1], h, w)
+    out = self_attn(p["attn"], layers.layer_norm(zf), num_heads, pe_ctx) + zf
+    return out.reshape(b, h, w, c)
+
+
+def cross_attn_block_2d(p, z, num_heads):
+    """Global 2D cross-view attention (reference: 197-226)."""
+    z_norm = layers.layer_norm(z)
+    x, y = jnp.split(z_norm, 2, axis=0)
+    b, h, w, c = x.shape
+    x, y = x.reshape(b, h * w, c), y.reshape(b, h * w, c)
+    x, y = cross_attn(p["attn"], x, y, num_heads)
+    out = jnp.concatenate([x.reshape(b, h, w, c), y.reshape(b, h, w, c)], axis=0)
+    return out + z
+
+
+def ffn(p, z):
+    """Pre-norm MLP block (reference: 229-250)."""
+    z_norm = layers.layer_norm(z)
+    out = layers.linear(p["ffn"]["0"], z_norm)
+    out = layers.linear(p["ffn"]["2"], layers.gelu(out))
+    return out + z
+
+
+def conv_block_2d(p, z):
+    """Dual-branch conv block: 3x3 MLP-conv + 1x1 MLP-conv (reference: 255-281).
+    Note: no residual — the two branches are summed."""
+    a = layers.conv2d(p["convs"]["0"], z)
+    a = layers.conv2d(p["convs"]["2"], layers.gelu(a))
+    b = layers.conv2d(p["convs_1x"]["0"], z)
+    b = layers.conv2d(p["convs_1x"]["2"], layers.relu(b))
+    return a + b
+
+
+def global_attn_block(p, z, num_heads, pe=None, use_cross_attn=False):
+    """[cross + FFN] + self + FFN at the 2D bottleneck (reference: 284-321)."""
+    if use_cross_attn:
+        z = cross_attn_block_2d(p["cross_attn"], z, num_heads)
+        z = ffn(p["ffn_c"], z)
+    z = self_attn_block_2d(p["self_attn"], z, num_heads, pe)
+    z = ffn(p["ffn"], z)
+    return z
+
+
+def basic_attn_block(p, z, num_heads):
+    """Scanline cross + FFN + self + FFN (reference: 324-355)."""
+    z = cross_attn_block_1d(p["cross_attn"], z, num_heads)
+    z = ffn(p["ffn_c"], z)
+    z = self_attn_block_1d(p["self_attn"], z, num_heads)
+    z = ffn(p["ffn"], z)
+    return z

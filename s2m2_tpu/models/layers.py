@@ -1,0 +1,170 @@
+"""Core NHWC layer primitives.
+
+Everything here is a pure function `f(params, x, ...) -> y` over a params pytree
+(nested dicts with 'weight'/'bias' leaves). Layouts are TPU-native:
+
+  activations: NHWC
+  conv weights: HWIO  (converted from the reference's torch OIHW at load time)
+  linear weights: (in, out)
+
+Numerics are kept bit-compatible (up to float re-association) with the torch ops
+the reference uses (reference: src/s2m2/core/model/*.py), so converted reference
+checkpoints reproduce reference outputs. Normalization statistics always run in
+float32 regardless of the compute dtype (the reference relies on torch autocast
+doing the same, reference: core/utils/model_utils.py:76).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_CONV_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def gelu(x):
+    """Exact (erf) GELU — torch nn.GELU() default."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def relu(x):
+    return jax.nn.relu(x)
+
+
+def conv2d(p, x, stride=1, padding=None):
+    """2D conv, NHWC. `padding` defaults to the torch convention k//2 per side.
+
+    Matches torch nn.Conv2d(..., stride, padding=k//2) exactly (symmetric
+    explicit padding, not XLA 'SAME').
+    """
+    w = p["weight"]
+    kh, kw = w.shape[0], w.shape[1]
+    if padding is None:
+        pad = [(kh // 2, kh // 2), (kw // 2, kw // 2)]
+    elif isinstance(padding, int):
+        pad = [(padding, padding), (padding, padding)]
+    else:
+        pad = [tuple(padding[0]), tuple(padding[1])]
+    s = (stride, stride) if isinstance(stride, int) else tuple(stride)
+    y = lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=s, padding=pad,
+        dimension_numbers=_CONV_DN)
+    if "bias" in p and p["bias"] is not None:
+        y = y + p["bias"].astype(y.dtype)
+    return y
+
+
+def conv_transpose2d(p, x, stride=1, padding=0):
+    """2D transposed conv, NHWC, matching torch nn.ConvTranspose2d.
+
+    The stored weight is (kh, kw, I, O) — the torch (I, O, kh, kw) layout with
+    spatial dims moved to the front. Implemented as an input-dilated regular
+    conv with a spatially-flipped kernel (what cuDNN does under the hood, and
+    what XLA fuses best).
+    """
+    w = p["weight"]  # (kh, kw, I, O)
+    kh, kw = w.shape[0], w.shape[1]
+    w_flip = w[::-1, ::-1]  # flip spatial taps
+    s = (stride, stride) if isinstance(stride, int) else tuple(stride)
+    pd = (padding, padding) if isinstance(padding, int) else tuple(padding)
+    pad = [(kh - 1 - pd[0], kh - 1 - pd[0]), (kw - 1 - pd[1], kw - 1 - pd[1])]
+    y = lax.conv_general_dilated(
+        x, w_flip.astype(x.dtype), window_strides=(1, 1), padding=pad,
+        lhs_dilation=s, dimension_numbers=_CONV_DN)
+    if "bias" in p and p["bias"] is not None:
+        y = y + p["bias"].astype(y.dtype)
+    return y
+
+
+def linear(p, x):
+    """Dense layer on the trailing axis. Weight layout (in, out)."""
+    y = jnp.einsum("...i,io->...o", x, p["weight"].astype(x.dtype))
+    if "bias" in p and p["bias"] is not None:
+        y = y + p["bias"].astype(y.dtype)
+    return y
+
+
+def layer_norm(x, p=None, eps=1e-5):
+    """LayerNorm over the channel (last) axis; fp32 statistics.
+
+    p is None for the reference's elementwise_affine=False norms
+    (reference: attentions.py:117 etc.).
+    """
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * lax.rsqrt(var + eps)
+    if p is not None:
+        y = y * p["weight"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def group_norm(p, x, num_groups=8, eps=1e-5):
+    """GroupNorm over NHWC with fp32 statistics (torch nn.GroupNorm semantics)."""
+    b, h, w, c = x.shape
+    g = num_groups
+    xf = x.astype(jnp.float32).reshape(b, h, w, g, c // g)
+    mean = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 4), keepdims=True)
+    y = ((xf - mean) * lax.rsqrt(var + eps)).reshape(b, h, w, c)
+    y = y * p["weight"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def avg_pool2d(x, k=2):
+    """Non-overlapping average pooling (torch nn.AvgPool2d(k))."""
+    kh, kw = (k, k) if isinstance(k, int) else tuple(k)
+    y = lax.reduce_window(x, 0.0 if x.dtype == jnp.float32 else jnp.zeros((), x.dtype),
+                          lax.add, (1, kh, kw, 1), (1, kh, kw, 1), "VALID")
+    return y / (kh * kw)
+
+
+def upsample2x_bilinear(x):
+    """Bilinear x2 upsample, half-pixel centers (torch align_corners=False)."""
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="bilinear")
+
+
+def upsample_nearest(x, factor):
+    """Integer-factor nearest upsample (== torch 'nearest' for integer scales)."""
+    x = jnp.repeat(x, factor, axis=1)
+    x = jnp.repeat(x, factor, axis=2)
+    return x
+
+
+def replicate_pad(x, pad=1):
+    """Edge-replicate spatial padding of an NHWC tensor."""
+    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
+
+
+def unfold9(x, pad=1):
+    """3x3 neighborhood unfold as 9 shifted slices with replicate padding.
+
+    NHWC analog of the reference's ONNX-friendly custom_unfold
+    (reference: core/model/utils.py:9-20). Channel-last output ordering is
+    (tap, C): out[..., t*C:(t+1)*C] is the tap (di, dj) with t = di*3+dj,
+    matching the reference's channel-major concat after the NCHW->NHWC change.
+    """
+    b, h, w, c = x.shape
+    xp = replicate_pad(x, pad)
+    taps = [xp[:, i:i + h, j:j + w, :] for i in range(3) for j in range(3)]
+    return jnp.concatenate(taps, axis=-1)  # (B, H, W, 9*C)
+
+
+def logit(x, eps):
+    """torch.logit(x, eps): clamp to [eps, 1-eps] then log(p/(1-p)); fp32."""
+    xf = jnp.clip(x.astype(jnp.float32), eps, 1.0 - eps)
+    return jnp.log(xf / (1.0 - xf)).astype(x.dtype)
+
+
+def sigmoid(x):
+    return jax.nn.sigmoid(x)
+
+
+def logsumexp_stable(x, axis, keepdims=False, eps=1e-30):
+    """max-shifted log-sum-exp with a clamped sum, matching the reference's
+    ONNX-decomposable implementation (reference: submodules.py:147-152)."""
+    m = jnp.max(x, axis=axis, keepdims=True)
+    y = jnp.sum(jnp.exp(x - m), axis=axis, keepdims=True)
+    y = m + jnp.log(jnp.clip(y, min=eps))
+    return y if keepdims else jnp.squeeze(y, axis=axis)

@@ -1,0 +1,100 @@
+"""S2M2 full forward pass (reference: src/s2m2/core/model/s2m2.py).
+
+Pure function over a params pytree. Activations are NHWC; the left/right views
+travel batch-concatenated ((2B, H, W, C), left half first) through the shared
+feature trunk exactly as in the reference.
+
+Inputs are images in [0, 255], (B, H, W, 3), H and W multiples of 32.
+Outputs (disp, occ, conf), each (B, H, W, 1) at input resolution.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from . import layers
+from .cost_volume import make_cost_volume
+from .encoder import cnn_encoder
+from .feature_fusion import feature_fusion
+from .matching import disp_init
+from .mrt import stacked_mrt
+from .refiners import global_refiner, local_refiner
+from .unet import unet
+from .upsampling import upsample1x, upsample4x, upsample_mask_1x, upsample_mask_4x
+
+
+def normalize_img(img):
+    """[0,255] -> [-1,1] (reference: s2m2.py:80-89)."""
+    return (img / 255.0 - 0.5) * 2.0
+
+
+def forward(params, img0, img1, cfg: ModelConfig):
+    """img0/img1: (B, H, W, 3) in [0,255], H%32 == W%32 == 0."""
+    img0_nor = normalize_img(img0)
+    img1_nor = normalize_img(img1)
+
+    # CNN feature extraction on the batch-concatenated pair
+    feature_4x, feature_2x = cnn_encoder(
+        params["cnn_backbone"], jnp.concatenate([img0_nor, img1_nor], axis=0))
+    feature0_2x = jnp.split(feature_2x, 2, axis=0)[0]
+
+    # feature pyramid U-Net (PE'd global attention at the 1/32 bottleneck)
+    py_4x, py_8x, py_16x, py_32x = unet(
+        params["feat_pyramid"], feature_4x,
+        n_attn=cfg.num_transformer * 2, use_pe=True, pe_dim=cfg.pe_dim)
+
+    # stacked multi-resolution transformer
+    feature_tr_4x = stacked_mrt(
+        params["transformer"], py_4x, py_8x, py_16x, py_32x,
+        num_transformer=cfg.num_transformer, num_heads=cfg.num_heads)
+
+    # OT matching -> initial disparity/conf/occ at 1/4 res
+    disp, conf, occ, cv = disp_init(
+        params["disp_init"], feature_tr_4x,
+        ot_iter=cfg.ot_iter, use_positivity=cfg.use_positivity)
+
+    feature0_tr_4x, _ = jnp.split(feature_tr_4x, 2, axis=0)
+    feature0_py_4x, _ = jnp.split(py_4x, 2, axis=0)
+
+    # global refinement (confidence-gated inpainting)
+    disp = global_refiner(params["global_refiner"], feature0_tr_4x, disp, conf)
+    if cfg.use_positivity:
+        disp = jnp.maximum(disp, 0)
+
+    # iterative local refinement
+    feature0_fusion_4x = feature_fusion(
+        params["feat_fusion_layer"], feature0_tr_4x, feature0_py_4x)
+    ctx0 = layers.conv2d(params["ctx_feat"]["0"], feature0_fusion_4x)
+    ctx0 = layers.conv2d(params["ctx_feat"]["2"], layers.gelu(ctx0))
+    hidden = jnp.tanh(ctx0)
+
+    w4 = feature0_fusion_4x.shape[2]
+    cv_state = make_cost_volume(cv, radius=cfg.radius)
+    coords_4x = jnp.arange(w4, dtype=jnp.float32).reshape(1, 1, w4, 1)
+
+    for _ in range(cfg.refine_iter):
+        hidden, disp, conf, occ = local_refiner(
+            params["refiner"], hidden, ctx0, disp, conf, occ, cv_state)
+        if cfg.use_positivity:
+            disp = jnp.maximum(disp, 0)
+        # geometric occlusion mask: matched coordinate must stay on-image
+        occ_mask = (coords_4x - disp) >= 0
+        occ = occ * occ_mask
+
+    # 4x convex upsampling
+    upsample_mask = upsample_mask_4x(
+        params["upsample_mask_4x_refine"], hidden, feature0_2x)
+    disp_up = upsample4x(disp * 4, upsample_mask)
+    occ_up = upsample4x(occ, upsample_mask)
+    conf_up = upsample4x(conf, upsample_mask)
+
+    # edge-guided 1x sharpening
+    filter_weights = upsample_mask_1x(
+        params["upsample_mask_1x"], disp_up, img0_nor, feature0_2x)
+    disp_up = upsample1x(disp_up, filter_weights, cfg.output_upsample)
+    occ_up = upsample1x(occ_up, filter_weights, cfg.output_upsample)
+    conf_up = upsample1x(conf_up, filter_weights, cfg.output_upsample)
+    if cfg.output_upsample:
+        disp_up = 2 * disp_up
+
+    return disp_up, occ_up, conf_up

@@ -1,0 +1,143 @@
+"""Layer-level numerical parity vs torch (CPU) oracles.
+
+torch here is only a test oracle — the framework itself is pure JAX.
+"""
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+import jax.numpy as jnp
+
+from s2m2_tpu.models import layers
+
+
+def _nchw(x_nhwc):
+    return torch.from_numpy(np.transpose(x_nhwc, (0, 3, 1, 2)))
+
+
+def _to_nhwc(t):
+    return np.transpose(t.detach().numpy(), (0, 2, 3, 1))
+
+
+@pytest.mark.parametrize("k,stride,cin,cout", [(1, 1, 3, 16), (3, 1, 8, 8),
+                                               (3, 2, 8, 16), (5, 2, 16, 8)])
+def test_conv2d(rng, k, stride, cin, cout):
+    x = rng.standard_normal((2, 12, 10, cin), dtype=np.float32)
+    w = rng.standard_normal((cout, cin, k, k), dtype=np.float32) * 0.1
+    b = rng.standard_normal((cout,), dtype=np.float32)
+    ref = F.conv2d(_nchw(x), torch.from_numpy(w), torch.from_numpy(b),
+                   stride=stride, padding=k // 2)
+    p = {"weight": jnp.asarray(np.transpose(w, (2, 3, 1, 0))),
+         "bias": jnp.asarray(b)}
+    got = layers.conv2d(p, jnp.asarray(x), stride=stride)
+    np.testing.assert_allclose(np.asarray(got), _to_nhwc(ref), atol=2e-5)
+
+
+def test_conv2d_rect_kernel(rng):
+    # GRU-style (3,1) and (1,3) kernels (reference: refinenet.py:14-20)
+    for kh, kw in [(3, 1), (1, 3)]:
+        x = rng.standard_normal((1, 9, 7, 4), dtype=np.float32)
+        w = rng.standard_normal((5, 4, kh, kw), dtype=np.float32)
+        ref = F.conv2d(_nchw(x), torch.from_numpy(w), None,
+                       padding=(kh // 2, kw // 2))
+        p = {"weight": jnp.asarray(np.transpose(w, (2, 3, 1, 0)))}
+        got = layers.conv2d(p, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(got), _to_nhwc(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("k,stride,pad", [(2, 2, 0), (3, 1, 1), (1, 1, 0)])
+def test_conv_transpose2d(rng, k, stride, pad):
+    cin, cout = 6, 5
+    x = rng.standard_normal((2, 8, 9, cin), dtype=np.float32)
+    w = rng.standard_normal((cin, cout, k, k), dtype=np.float32) * 0.2
+    b = rng.standard_normal((cout,), dtype=np.float32)
+    ref = F.conv_transpose2d(_nchw(x), torch.from_numpy(w), torch.from_numpy(b),
+                             stride=stride, padding=pad)
+    p = {"weight": jnp.asarray(np.transpose(w, (2, 3, 0, 1))),
+         "bias": jnp.asarray(b)}
+    got = layers.conv_transpose2d(p, jnp.asarray(x), stride=stride, padding=pad)
+    np.testing.assert_allclose(np.asarray(got), _to_nhwc(ref), atol=2e-5)
+
+
+def test_group_norm(rng):
+    c = 32
+    x = rng.standard_normal((2, 6, 5, c), dtype=np.float32)
+    w = rng.standard_normal((c,), dtype=np.float32)
+    b = rng.standard_normal((c,), dtype=np.float32)
+    ref = F.group_norm(_nchw(x), 8, torch.from_numpy(w), torch.from_numpy(b))
+    got = layers.group_norm({"weight": jnp.asarray(w), "bias": jnp.asarray(b)},
+                            jnp.asarray(x), num_groups=8)
+    np.testing.assert_allclose(np.asarray(got), _to_nhwc(ref), atol=1e-5)
+
+
+def test_layer_norm(rng):
+    x = rng.standard_normal((3, 7, 16), dtype=np.float32)
+    ref = F.layer_norm(torch.from_numpy(x), (16,))
+    got = layers.layer_norm(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=1e-5)
+    w = rng.standard_normal((16,), dtype=np.float32)
+    b = rng.standard_normal((16,), dtype=np.float32)
+    ref = F.layer_norm(torch.from_numpy(x), (16,), torch.from_numpy(w),
+                       torch.from_numpy(b))
+    got = layers.layer_norm(jnp.asarray(x),
+                            {"weight": jnp.asarray(w), "bias": jnp.asarray(b)})
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=1e-5)
+
+
+def test_avg_pool(rng):
+    x = rng.standard_normal((2, 8, 6, 4), dtype=np.float32)
+    ref = F.avg_pool2d(_nchw(x), 2)
+    got = layers.avg_pool2d(jnp.asarray(x), 2)
+    np.testing.assert_allclose(np.asarray(got), _to_nhwc(ref), atol=1e-6)
+    # the cost-volume's (1,2) pooling (reference: submodules.py:32)
+    ref = F.avg_pool2d(_nchw(x), [1, 2])
+    got = layers.avg_pool2d(jnp.asarray(x), (1, 2))
+    np.testing.assert_allclose(np.asarray(got), _to_nhwc(ref), atol=1e-6)
+
+
+def test_bilinear_upsample2x(rng):
+    x = rng.standard_normal((2, 5, 7, 3), dtype=np.float32)
+    ref = F.interpolate(_nchw(x), scale_factor=2, mode="bilinear",
+                        align_corners=False)
+    got = layers.upsample2x_bilinear(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), _to_nhwc(ref), atol=1e-5)
+
+
+def test_nearest_upsample(rng):
+    x = rng.standard_normal((1, 4, 5, 9), dtype=np.float32)
+    ref = F.interpolate(_nchw(x), size=(16, 20), mode="nearest")
+    got = layers.upsample_nearest(jnp.asarray(x), 4)
+    np.testing.assert_allclose(np.asarray(got), _to_nhwc(ref), atol=0)
+
+
+def test_unfold9(rng):
+    # vs the reference's custom_unfold semantics (replicate pad, 9 shifts)
+    x = rng.standard_normal((2, 6, 7, 1), dtype=np.float32)
+    xt = _nchw(x)
+    xp = F.pad(xt, (1, 1, 1, 1), "replicate")
+    ref = torch.cat([xp[:, :, i:i + 6, j:j + 7]
+                     for i in range(3) for j in range(3)], dim=1)
+    got = layers.unfold9(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), _to_nhwc(ref), atol=0)
+
+
+def test_gelu_exact(rng):
+    x = rng.standard_normal((128,), dtype=np.float32) * 3
+    ref = F.gelu(torch.from_numpy(x))
+    got = layers.gelu(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=1e-6)
+
+
+def test_logit(rng):
+    x = rng.uniform(0, 1, 100).astype(np.float32)
+    for eps in (1e-1, 1e-2):
+        ref = torch.logit(torch.from_numpy(x), eps=eps)
+        got = layers.logit(jnp.asarray(x), eps=eps)
+        np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=1e-5)
+
+
+def test_logsumexp_stable(rng):
+    x = rng.standard_normal((2, 5, 6), dtype=np.float32) * 10
+    ref = torch.logsumexp(torch.from_numpy(x), dim=1)
+    got = layers.logsumexp_stable(jnp.asarray(x), axis=1)
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=1e-5)

@@ -1,0 +1,51 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric (BASELINE.md north star): S2M2-XL @ 1216x1024, mixed bf16,
+refine_iter=3, frames/s per TPU chip. vs_baseline is measured against the
+reference's TensorRT RTX-5090 fp16 number (6.4 FPS, reference README.md:117-122).
+"""
+import argparse
+import json
+import sys
+
+BASELINE_FPS = {  # TensorRT fp16 on RTX 5090 (reference README.md:63-122)
+    ("S", 640, 480): 124.0, ("S", 1216, 1024): 59.4, ("S", 2432, 2048): 7.3,
+    ("M", 640, 480): 66.7, ("M", 1216, 1024): 18.3, ("M", 2432, 2048): 3.8,
+    ("L", 640, 480): 46.6, ("L", 1216, 1024): 11.2, ("L", 2432, 2048): 2.4,
+    ("XL", 640, 480): 26.6, ("XL", 1216, 1024): 6.4, ("XL", 2432, 2048): 1.4,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="XL", choices=["S", "M", "L", "XL"])
+    ap.add_argument("--width", type=int, default=1216)
+    ap.add_argument("--height", type=int, default=1024)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
+    ap.add_argument("--batch", type=int, default=1)
+    args = ap.parse_args()
+
+    from s2m2_tpu.runtime.engine import StereoEngine
+
+    eng = StereoEngine(args.model, precision=args.precision,
+                       refine_iter=3, use_positivity=True)
+    # benchmark takes (height, width) of the padded frame; the reference's
+    # "1216x1024" is width x height
+    res = eng.benchmark(args.height, args.width, n_warmup=2, n_iter=args.iters,
+                        batch=args.batch)
+    fps = res["fps"]
+    base = BASELINE_FPS.get((args.model, args.width, args.height))
+    out = {
+        "metric": f"{args.model}_fps_{args.width}x{args.height}_{args.precision}_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / base, 3) if base else None,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

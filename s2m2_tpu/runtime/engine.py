@@ -1,0 +1,153 @@
+"""Stereo inference engine: jit cache, precision policy, timing.
+
+TPU-native replacement for the reference's load_model/run_stereo_matching
+(reference: src/s2m2/core/utils/model_utils.py:11-107). One engine owns the
+parameter pytree and a compilation cache keyed by padded input shape — the
+analog of the reference's TensorRT engines-per-resolution, but managed
+transparently by jax.jit + the persistent XLA compilation cache.
+"""
+from __future__ import annotations
+
+import functools
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig, get_config
+from ..models.init import init_params
+from ..models.s2m2 import forward
+from ..tools.convert_checkpoint import load_npz
+from ..utils.image import image_crop, image_pad
+
+
+def cast_params(params, dtype):
+    return jax.tree.map(lambda x: x.astype(dtype), params)
+
+
+class StereoEngine:
+    """Owns params + per-resolution jitted forwards.
+
+    Usage:
+        eng = StereoEngine("S", checkpoint="CH128NTR1.npz", precision="bf16")
+        disp, occ, conf, score, ms = eng.run(left, right)   # HWC uint8/float
+    """
+
+    def __init__(self, model_type_or_cfg="S", *, checkpoint: Optional[str] = None,
+                 precision: str = "bf16", use_positivity: bool = True,
+                 refine_iter: int = 3, seed: int = 0, mesh=None,
+                 in_shardings=None):
+        if isinstance(model_type_or_cfg, ModelConfig):
+            self.cfg = model_type_or_cfg
+        else:
+            self.cfg = get_config(model_type_or_cfg,
+                                  use_positivity=use_positivity,
+                                  refine_iter=refine_iter)
+        self.compute_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+        if checkpoint:
+            params = load_npz(checkpoint)
+        else:
+            params = init_params(self.cfg, seed=seed)
+        self.params = cast_params(params, self.compute_dtype)
+        self.mesh = mesh
+        self.in_shardings = in_shardings
+        if mesh is not None and in_shardings is not None:
+            self.params = jax.device_put(
+                self.params,
+                jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+
+    @functools.cached_property
+    def _jitted(self):
+        cfg = self.cfg
+
+        def fwd(params, img0, img1):
+            disp, occ, conf = forward(params, img0, img1, cfg)
+            return (disp.astype(jnp.float32), occ.astype(jnp.float32),
+                    conf.astype(jnp.float32))
+
+        if self.mesh is not None and self.in_shardings is not None:
+            return jax.jit(
+                fwd,
+                in_shardings=(
+                    jax.sharding.NamedSharding(self.mesh,
+                                               jax.sharding.PartitionSpec()),
+                    self.in_shardings, self.in_shardings))
+        return jax.jit(fwd)
+
+    def forward_padded(self, img0, img1):
+        """Jitted forward on already padded (B,H,W,3) arrays."""
+        return self._jitted(self.params,
+                            jnp.asarray(img0, self.compute_dtype),
+                            jnp.asarray(img1, self.compute_dtype))
+
+    def run(self, left, right, n_repeat: int = 1):
+        """Full pipeline on HWC (or BHWC) images in [0,255].
+
+        Returns (disp, occ, conf, avg_conf_score, runtime_ms); disp/occ/conf
+        are numpy (H, W) (or (B,H,W)) at input resolution. avg_conf_score is
+        the mean confidence over a 100px-margin interior — the reference's
+        self-calibration objective (reference: model_utils.py:93-94).
+        """
+        left = np.asarray(left, np.float32)
+        right = np.asarray(right, np.float32)
+        squeeze = left.ndim == 3
+        if squeeze:
+            left, right = left[None], right[None]
+        h, w = left.shape[1:3]
+        lp = image_pad(left)
+        rp = image_pad(right)
+
+        out = jax.block_until_ready(self.forward_padded(lp, rp))  # warm compile
+        t0 = time.perf_counter()
+        for _ in range(n_repeat):
+            out = self.forward_padded(lp, rp)
+        out = jax.block_until_ready(out)
+        runtime_ms = (time.perf_counter() - t0) * 1e3 / n_repeat
+
+        disp, occ, conf = (np.asarray(image_crop(np.asarray(o), (h, w)))[..., 0]
+                           for o in out)
+        m = 100
+        if h > 2 * m and w > 2 * m:
+            score = float(conf[:, m:-m, m:-m].mean())
+        else:
+            score = float(conf.mean())
+        if squeeze:
+            disp, occ, conf = disp[0], occ[0], conf[0]
+        return disp, occ, conf, score, runtime_ms
+
+    def confidence_score(self, left, right) -> float:
+        """The self-calibration objective (reference: model_utils.py:98-107)."""
+        return self.run(left, right)[3]
+
+    def benchmark(self, height, width, n_warmup=2, n_iter=10, batch=1):
+        """FPS at a fixed (padded) resolution with synthetic inputs.
+
+        Iterations are chained through a scalar data dependency so the device
+        must execute every frame (the runtime caches/elides repeated identical
+        executions, and dispatch is async — naive loops measure nothing).
+        """
+        cfg = self.cfg
+
+        @jax.jit
+        def step(params, a, b, s):
+            d, _, _ = forward(params, a + s.astype(a.dtype) * 0, b, cfg)
+            return s + d.astype(jnp.float32).mean()
+
+        rng = np.random.default_rng(0)
+        a = jnp.asarray(rng.uniform(0, 255, (batch, height, width, 3)),
+                        self.compute_dtype)
+        b = jnp.asarray(rng.uniform(0, 255, (batch, height, width, 3)),
+                        self.compute_dtype)
+        s = jnp.float32(0)
+        for _ in range(n_warmup):
+            s = step(self.params, a, b, s)
+        float(s)
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            s = step(self.params, a, b, s)
+        float(s)  # host sync
+        dt = (time.perf_counter() - t0) / n_iter
+        return dict(seconds_per_frame=dt / batch, fps=batch / dt,
+                    height=height, width=width, batch=batch)

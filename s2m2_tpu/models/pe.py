@@ -20,38 +20,46 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax.numpy as jnp
 
 
 def custom_sinc(x):
     # The reference uses 3.1415, not pi (reference: core/model/utils.py:5-6).
     px = 3.1415 * x
-    return jnp.where(jnp.abs(x) < 1e-6, jnp.ones_like(x), jnp.sin(px) / px)
+    return np.where(np.abs(x) < 1e-6, np.ones_like(x), np.sin(px) / px)
 
 
-def _axis_table(n: int, pe_dim: int, dtype=jnp.float32):
-    """Relative table T[n_q, n_k, pe_dim//2] for one spatial axis of length n."""
+def _axis_table(n: int, pe_dim: int):
+    """Relative table T[n_q, n_k, pe_dim//2] for one spatial axis of length n.
+
+    Built host-side in numpy: the table is a static constant per (n, pe_dim),
+    so it constant-folds into the compiled graph and is safe to lru_cache
+    (jnp here would leak tracers across jit traces)."""
     half = pe_dim // 2
     L = 2 * n + 1
     sig = 5.0 / pe_dim
-    pos = jnp.tanh(jnp.linspace(-3.0, 3.0, L, dtype=jnp.float32))
-    dim_t = jnp.linspace(-1.0, 1.0, half, dtype=jnp.float32)
-    tab = custom_sinc((dim_t[None, :] - pos[:, None]) / sig)  # (L, half)
-    tab = tab / jnp.clip(jnp.linalg.norm(tab, axis=-1, keepdims=True), 1e-12)
-    q = jnp.arange(n)[:, None]
-    k = jnp.arange(n)[None, :]
+    pos = np.tanh(np.linspace(-3.0, 3.0, L, dtype=np.float32))
+    dim_t = np.linspace(-1.0, 1.0, half, dtype=np.float32)
+    tab = custom_sinc((dim_t[None, :] - pos[:, None]) / sig).astype(np.float32)
+    tab = tab / np.clip(np.linalg.norm(tab, axis=-1, keepdims=True), 1e-12, None)
+    q = np.arange(n)[:, None]
+    k = np.arange(n)[None, :]
     rel = q - k + n - 1  # in [0, 2n-2] subset of [0, L-1]
-    return jnp.take(tab, rel, axis=0).astype(dtype)  # (n, n, half)
+    return tab[rel]  # (n, n, half)
 
 
 @functools.lru_cache(maxsize=32)
 def _axis_table_cached(n: int, pe_dim: int):
+    # cache the numpy constant only; conversion to a jax value happens at the
+    # use site so no tracer/device array ever lives in the cache
     return _axis_table(n, pe_dim)
 
 
 def pe_tables(h: int, w: int, pe_dim: int = 32):
     """Per-axis relative PE tables (TY: (h,h,d/2), TX: (w,w,d/2)), fp32."""
-    return _axis_table_cached(h, pe_dim), _axis_table_cached(w, pe_dim)
+    return (jnp.asarray(_axis_table_cached(h, pe_dim)),
+            jnp.asarray(_axis_table_cached(w, pe_dim)))
 
 
 def pe_contract(attn, ty, tx, h: int, w: int):

@@ -1,0 +1,60 @@
+"""Training step: optax optimizer + sharded jit train step.
+
+With parameters replicated and the batch sharded over ('data', 'band'),
+jit/GSPMD derives the gradient all-reduce automatically — no hand-written
+collectives (the scaling-book recipe: annotate shardings, let XLA insert
+psums).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import ModelConfig
+from ..models.s2m2 import forward
+from .loss import stereo_loss
+
+
+def make_optimizer(lr=1e-4, weight_decay=1e-5, clip=1.0):
+    return optax.chain(
+        optax.clip_by_global_norm(clip),
+        optax.adamw(lr, weight_decay=weight_decay),
+    )
+
+
+def make_train_step(cfg: ModelConfig, optimizer, mesh=None,
+                    image_sharding=None, replicated=None):
+    """Returns (train_step, init_opt_state).
+
+    train_step(params, opt_state, batch) -> (params, opt_state, metrics)
+    batch = dict(img0, img1, gt_disp, valid) with (B, H, W, C) leaves.
+    Gradients are computed in fp32 master params regardless of compute dtype.
+    """
+
+    def loss_fn(params, batch):
+        disp, occ, conf = forward(params, batch["img0"], batch["img1"], cfg)
+        total, metrics = stereo_loss(disp, occ, conf, batch["gt_disp"],
+                                     batch["valid"],
+                                     batch.get("gt_nonocc"))
+        return total, metrics
+
+    def train_step(params, opt_state, batch):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    if mesh is not None:
+        rep = replicated
+        train_step = jax.jit(
+            train_step,
+            in_shardings=(rep, rep,
+                          dict(img0=image_sharding, img1=image_sharding,
+                               gt_disp=image_sharding, valid=image_sharding)),
+            out_shardings=(rep, rep, rep))
+    else:
+        train_step = jax.jit(train_step)
+
+    return train_step, optimizer.init

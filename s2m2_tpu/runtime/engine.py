@@ -99,12 +99,33 @@ class StereoEngine:
         lp = image_pad(left)
         rp = image_pad(right)
 
-        out = jax.block_until_ready(self.forward_padded(lp, rp))  # warm compile
-        t0 = time.perf_counter()
-        for _ in range(n_repeat):
-            out = self.forward_padded(lp, rp)
-        out = jax.block_until_ready(out)
-        runtime_ms = (time.perf_counter() - t0) * 1e3 / n_repeat
+        out = self.forward_padded(lp, rp)
+        np.asarray(out[0])  # warm compile + sync (block_until_ready is
+        # unreliable on the tunneled axon platform; host fetch syncs)
+        if n_repeat > 1:
+            # chained-dependency timing: the runtime elides repeated identical
+            # executions, so each iteration must consume the previous one
+            cfg = self.cfg
+
+            @jax.jit
+            def _step(params, a, b, s):
+                d, _, _ = forward(params, a, b, cfg)
+                return s + d.astype(jnp.float32).mean()
+
+            a = jnp.asarray(lp, self.compute_dtype)
+            b = jnp.asarray(rp, self.compute_dtype)
+            s = _step(self.params, a, b, jnp.float32(0))
+            float(s)
+            t0 = time.perf_counter()
+            for _ in range(n_repeat):
+                s = _step(self.params, a, b, s)
+            float(s)
+            runtime_ms = (time.perf_counter() - t0) * 1e3 / n_repeat
+        else:
+            t0 = time.perf_counter()
+            out2 = self.forward_padded(lp, rp)
+            np.asarray(out2[0])
+            runtime_ms = (time.perf_counter() - t0) * 1e3
 
         disp, occ, conf = (np.asarray(image_crop(np.asarray(o), (h, w)))[..., 0]
                            for o in out)

@@ -44,12 +44,16 @@ def _bilinear_resize(x, out_h, out_w):
     b, h, w, c = x.shape
     ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
     xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
-    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
-    y1 = np.clip(y0 + 1, 0, h - 1)
-    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
-    x1 = np.clip(x0 + 1, 0, w - 1)
-    wy = np.clip(ys - np.floor(ys), 0, 1).reshape(1, -1, 1, 1).astype(np.float32)
-    wx = np.clip(xs - np.floor(xs), 0, 1).reshape(1, 1, -1, 1).astype(np.float32)
+    # torch align_corners=False semantics: weights from the UNclamped floor,
+    # only the gather indices are clamped (so off-edge samples replicate)
+    y0f = np.floor(ys)
+    x0f = np.floor(xs)
+    y0 = np.clip(y0f.astype(int), 0, h - 1)
+    y1 = np.clip(y0f.astype(int) + 1, 0, h - 1)
+    x0 = np.clip(x0f.astype(int), 0, w - 1)
+    x1 = np.clip(x0f.astype(int) + 1, 0, w - 1)
+    wy = (ys - y0f).reshape(1, -1, 1, 1).astype(np.float32)
+    wx = (xs - x0f).reshape(1, 1, -1, 1).astype(np.float32)
     top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
     bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
     return top * (1 - wy) + bot * wy
@@ -66,6 +70,12 @@ def image_pad(img, factor=32):
     pad_h, pad_w = h_new - h, w_new - w
     if pad_h == 0 and pad_w == 0:
         return img
+
+    # fast path: native (C++/OpenMP) implementation when built
+    from .. import native
+    if native.available():
+        return np.stack([native.image_pad_native(frame, factor)
+                         for frame in img])
 
     pad = np.pad(img, ((0, 0), (pad_h // 2, pad_h - pad_h // 2),
                        (pad_w // 2, pad_w - pad_w // 2), (0, 0)))

@@ -1,0 +1,28 @@
+"""StableHLO export round-trip: serialize, reload, numeric parity."""
+import numpy as np
+import jax.numpy as jnp
+
+from s2m2_tpu.config import ModelConfig
+from s2m2_tpu.models.init import init_params
+from s2m2_tpu.models.s2m2 import forward
+from s2m2_tpu.tools.export import (artifact_name, export_forward,
+                                   load_artifact, save_artifact)
+
+
+def test_export_roundtrip(tmp_path, rng):
+    cfg = ModelConfig(feature_channels=16, num_transformer=1, refine_iter=1)
+    params = init_params(cfg, seed=0)
+    h, w = 64, 96
+
+    blob = export_forward(params, cfg, h, w, compute_dtype=jnp.float32)
+    path = tmp_path / artifact_name(cfg, h, w, "fp32")
+    save_artifact(str(path), blob)
+    assert path.stat().st_size > 1000
+
+    fn = load_artifact(str(path))
+    img0 = rng.uniform(0, 255, (1, h, w, 3)).astype(np.float32)
+    img1 = rng.uniform(0, 255, (1, h, w, 3)).astype(np.float32)
+    disp, occ, conf = fn(img0, img1)
+    ref = forward(params, jnp.asarray(img0), jnp.asarray(img1), cfg)
+    np.testing.assert_allclose(np.asarray(disp), np.asarray(ref[0]), atol=1e-4)
+    assert disp.shape == (1, h, w, 1)

@@ -21,6 +21,35 @@ import jax.numpy as jnp
 
 from . import layers
 from .pe import pe_contract
+from ..ops import flash_attention as _fa
+
+# Pallas kernel dispatch. Measured on v5e at XL shapes: the fused
+# bidirectional cross kernel wins standalone, but swapping BOTH attention
+# families in-context regressed end-to-end FPS (custom calls break XLA's
+# fusion around the projections), so the default is XLA everywhere; flip per
+# family with set_use_pallas(self_attn=..., cross_attn=...) to experiment.
+import os as _os
+
+_env = _os.environ.get("S2M2_PALLAS_ATTN", "")
+_USE_PALLAS_SELF = _env in ("all", "self")
+_USE_PALLAS_CROSS = _env in ("all", "cross")
+_MAX_PALLAS_SEQ = 768
+
+
+def set_use_pallas(enabled=None, *, self_attn=None, cross_attn=None):
+    global _USE_PALLAS_SELF, _USE_PALLAS_CROSS
+    if enabled is not None:
+        _USE_PALLAS_SELF = _USE_PALLAS_CROSS = bool(enabled)
+    if self_attn is not None:
+        _USE_PALLAS_SELF = bool(self_attn)
+    if cross_attn is not None:
+        _USE_PALLAS_CROSS = bool(cross_attn)
+
+
+def _pallas_ok(n, kind):
+    on = _USE_PALLAS_SELF if kind == "self" else _USE_PALLAS_CROSS
+    return (on and n <= _MAX_PALLAS_SEQ
+            and jax.default_backend() not in ("cpu",))
 
 
 def _split_heads(x, num_heads):
@@ -34,7 +63,15 @@ def _merge_heads(x):
 
 
 def sdpa(q, k, v):
-    """Scaled dot-product attention, fp32 softmax, (B, heads, N, D) layout."""
+    """Scaled dot-product attention, fp32 softmax, (B, heads, N, D) layout.
+
+    Dispatches to the Pallas row-attention kernel on TPU (f32 scores stay in
+    VMEM); otherwise the reference XLA einsum path."""
+    b, h, n, d = q.shape
+    if _pallas_ok(n, "self"):
+        fold = lambda x: x.reshape(b * h, n, d)
+        out = _fa.scanline_attention(fold(q), fold(k), fold(v))
+        return out.reshape(b, h, n, d)
     scale = q.shape[-1] ** -0.5
     score = jnp.einsum("bhic,bhjc->bhij", q * scale, k,
                        preferred_element_type=jnp.float32)
@@ -77,8 +114,18 @@ def cross_attn(p, x, y, num_heads):
     qy = _split_heads(layers.linear(p["q"], y), num_heads)
     ky = _split_heads(layers.linear(p["k"], y), num_heads)
     vy = _split_heads(layers.linear(p["v"], y), num_heads)
-    x_out = layers.linear(p["proj"], _merge_heads(sdpa(qx, ky, vy)))
-    y_out = layers.linear(p["proj"], _merge_heads(sdpa(qy, kx, vx)))
+    b, h, n, d = qx.shape
+    if _pallas_ok(n, "cross"):
+        fold = lambda t: t.reshape(b * h, n, d)
+        ox, oy = _fa.scanline_cross_attention(
+            fold(qx), fold(kx), fold(vx), fold(qy), fold(ky), fold(vy))
+        ox = ox.reshape(b, h, n, d)
+        oy = oy.reshape(b, h, n, d)
+    else:
+        ox = sdpa(qx, ky, vy)
+        oy = sdpa(qy, kx, vx)
+    x_out = layers.linear(p["proj"], _merge_heads(ox))
+    y_out = layers.linear(p["proj"], _merge_heads(oy))
     return x_out, y_out
 
 

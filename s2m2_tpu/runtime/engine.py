@@ -19,7 +19,7 @@ import numpy as np
 from ..config import ModelConfig, get_config
 from ..models.init import init_params
 from ..models.s2m2 import forward
-from ..tools.convert_checkpoint import load_npz
+from ..tools.convert_checkpoint import flatten, load_npz, nest
 from ..utils.image import image_crop, image_pad
 
 
@@ -47,7 +47,7 @@ class StereoEngine:
                                   refine_iter=refine_iter)
         self.compute_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
         if checkpoint:
-            params = load_npz(checkpoint)
+            params = self._tolerant_load(checkpoint, seed)
         else:
             params = init_params(self.cfg, seed=seed)
         self.params = cast_params(params, self.compute_dtype)
@@ -57,6 +57,30 @@ class StereoEngine:
             self.params = jax.device_put(
                 self.params,
                 jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+
+    def _tolerant_load(self, checkpoint, seed):
+        """Shape-tolerant checkpoint load: tensors whose shapes mismatch the
+        architecture are skipped with a warning and keep their initialized
+        values (reference: s2m2.py:69-78, strict=False semantics)."""
+        template = init_params(self.cfg, seed=seed)
+        loaded = load_npz(checkpoint)
+        flat_t = flatten(template)
+        flat_l = flatten(loaded)
+        merged = dict(flat_t)
+        for name, arr in flat_l.items():
+            if name not in flat_t:
+                print(f"Skip unexpected parameter: {name}")
+                continue
+            if tuple(arr.shape) != tuple(flat_t[name].shape):
+                print(f"Skip loading parameter: {name}, required shape: "
+                      f"{flat_t[name].shape}, loaded shape: {arr.shape}")
+                continue
+            merged[name] = arr
+        missing = set(flat_t) - set(flat_l)
+        if missing:
+            print(f"{len(missing)} parameters not in checkpoint "
+                  f"(kept initialized)")
+        return nest(merged)
 
     @functools.cached_property
     def _jitted(self):

@@ -1,0 +1,56 @@
+"""StereoEngine: tolerant checkpoint loading, run() pipeline, profiling utils."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from s2m2_tpu.config import ModelConfig
+from s2m2_tpu.models.init import init_params
+from s2m2_tpu.runtime.engine import StereoEngine
+from s2m2_tpu.runtime.profiling import chained_timer, flops_report
+from s2m2_tpu.tools.convert_checkpoint import flatten, save_npz
+
+
+CFG = ModelConfig(feature_channels=16, num_transformer=1, refine_iter=1)
+
+
+def test_run_pipeline(rng):
+    eng = StereoEngine(CFG, precision="fp32")
+    left = rng.uniform(0, 255, (70, 100, 3)).astype(np.float32)
+    right = rng.uniform(0, 255, (70, 100, 3)).astype(np.float32)
+    disp, occ, conf, score, ms = eng.run(left, right)
+    assert disp.shape == (70, 100)
+    assert np.isfinite(disp).all()
+    assert 0 <= occ.min() and occ.max() <= 1
+    assert ms > 0
+
+
+def test_tolerant_checkpoint_load(tmp_path, capsys):
+    params = init_params(CFG, seed=1)
+    flat = {k: np.asarray(v) for k, v in flatten(params).items()}
+    # corrupt one shape and drop one tensor
+    bad_key = "cnn_backbone.conv0.0.weight"
+    flat[bad_key] = np.zeros((2, 2, 2, 2), np.float32)
+    dropped = "ctx_feat.0.bias"
+    del flat[dropped]
+    path = tmp_path / "ckpt.npz"
+    save_npz(str(path), flat)
+
+    eng = StereoEngine(CFG, checkpoint=str(path), precision="fp32", seed=5)
+    out = capsys.readouterr().out
+    assert "Skip loading parameter" in out
+    # loaded tensors took the checkpoint values
+    good = "ctx_feat.0.weight"
+    np.testing.assert_array_equal(
+        np.asarray(flatten(eng.params)[good], np.float32), flat[good])
+    # mismatched tensor kept its (seed=5) init, not the zeros
+    assert np.abs(np.asarray(
+        flatten(eng.params)[bad_key], np.float32)).sum() > 0
+
+
+def test_chained_timer_and_flops(rng):
+    x = jnp.asarray(rng.standard_normal((64, 64), dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((64, 64), dtype=np.float32))
+    dt = chained_timer(lambda a, b: a @ b, x, w, n_iter=3)
+    assert dt > 0
+    rep = flops_report(lambda a, b: a @ b, x, w)
+    assert rep["tflops"] > 0

@@ -86,6 +86,10 @@ def self_attn(p, x, num_heads, pe=None):
     pe: None, or (ty, tx, h, w) — factorized relative-PE context. With PE the
     attention matrix is materialized (needed for the PE contraction), exactly
     as the reference does on its use_pe path.
+
+    Note: merging the q/k/v projections into one widened matmul was tried and
+    REGRESSED end-to-end XL FPS by ~11% on v5e — XLA schedules the three
+    separate projections better. Keep them separate.
     """
     q = _split_heads(layers.linear(p["q"], x), num_heads)
     k = _split_heads(layers.linear(p["k"], x), num_heads)
@@ -108,6 +112,7 @@ def self_attn(p, x, num_heads, pe=None):
 def cross_attn(p, x, y, num_heads):
     """Symmetric weight-shared bidirectional cross attention
     (reference: attentions.py:57-96)."""
+    b0 = x.shape[0]
     qx = _split_heads(layers.linear(p["q"], x), num_heads)
     kx = _split_heads(layers.linear(p["k"], x), num_heads)
     vx = _split_heads(layers.linear(p["v"], x), num_heads)
@@ -124,9 +129,10 @@ def cross_attn(p, x, y, num_heads):
     else:
         ox = sdpa(qx, ky, vy)
         oy = sdpa(qy, kx, vx)
-    x_out = layers.linear(p["proj"], _merge_heads(ox))
-    y_out = layers.linear(p["proj"], _merge_heads(oy))
-    return x_out, y_out
+    # shared projection: one stacked matmul for both views
+    out = layers.linear(p["proj"], _merge_heads(
+        jnp.concatenate([ox, oy], axis=0)))
+    return out[:b0], out[b0:]
 
 
 # ---------------------------------------------------------------------------

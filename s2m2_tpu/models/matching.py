@@ -12,9 +12,20 @@ equivalent).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from . import layers
+from ..ops.sinkhorn import fused_correlation_ot
+
+# Fused correlation+Sinkhorn Pallas path (ops/sinkhorn.py); off by default —
+# enable after measuring end-to-end on the target chip.
+_USE_FUSED_OT = False
+
+
+def set_use_fused_ot(enabled: bool):
+    global _USE_FUSED_OT
+    _USE_FUSED_OT = enabled
 
 
 def _sinkhorn(attn, log_mu, log_nu, ot_iter):
@@ -57,18 +68,21 @@ def disp_init(p, feature, *, ot_iter=3, use_positivity=True, window=2):
 
     feat = layers.layer_norm(feature, p["layer_norm"])
     f0, f1 = jnp.split(feat, 2, axis=0)
-    cv = jnp.einsum("bhic,bhjc->bhij", f0, f1,
-                    preferred_element_type=jnp.float32).astype(dtype)
 
-    if use_positivity:
-        # mask right-of-left correspondences (upper triangle, j > i)
-        tri = jnp.triu(jnp.ones((w, w), bool), k=1)
+    if _USE_FUSED_OT and jax.default_backend() not in ("cpu",):
+        masked_prob, cv = fused_correlation_ot(
+            f0, f1, ot_iter=ot_iter, use_positivity=use_positivity)
     else:
-        tri = jnp.zeros((w, w), bool)
-    cv_masked = jnp.where(tri, jnp.asarray(-1e4, cv.dtype), cv)
-
-    prob = optimal_transport(cv_masked, ot_iter)
-    masked_prob = jnp.where(tri, jnp.zeros((), prob.dtype), prob)
+        cv = jnp.einsum("bhic,bhjc->bhij", f0, f1,
+                        preferred_element_type=jnp.float32).astype(dtype)
+        if use_positivity:
+            # mask right-of-left correspondences (upper triangle, j > i)
+            tri = jnp.triu(jnp.ones((w, w), bool), k=1)
+        else:
+            tri = jnp.zeros((w, w), bool)
+        cv_masked = jnp.where(tri, jnp.asarray(-1e4, cv.dtype), cv)
+        prob = optimal_transport(cv_masked, ot_iter)
+        masked_prob = jnp.where(tri, jnp.zeros((), prob.dtype), prob)
 
     # windowed soft-argmax: +-window around the row-wise argmax
     # (reference: submodules.py:226-239)

@@ -15,9 +15,11 @@ from .attention import basic_attn_block, global_attn_block
 from .feature_fusion import feature_fusion
 from ..ops.fused_block import fused_basic_attn_block
 
-# Fused scanline block engages on TPU at C <= 512 (weights must fit VMEM);
-# see ops/fused_block.py. Overridable for experiments.
-_USE_FUSED_BLOCK = True
+# Fused scanline block (ops/fused_block.py). Measured at XL shapes on v5e:
+# 31% faster standalone but parity in-context (the blocks are FLOP-bound on
+# the C=384 matmuls, not bandwidth-bound, so fusing HBM round-trips doesn't
+# pay) — default OFF, kept as a tested experimental path.
+_USE_FUSED_BLOCK = False
 _FUSED_MAX_C = 512
 
 

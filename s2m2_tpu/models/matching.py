@@ -19,8 +19,9 @@ from . import layers
 from ..ops.sinkhorn import fused_correlation_ot
 
 # Fused correlation+Sinkhorn Pallas path (ops/sinkhorn.py); off by default —
-# enable after measuring end-to-end on the target chip.
-_USE_FUSED_OT = False
+# enable after measuring end-to-end on the target chip (S2M2_FUSED_OT=1).
+import os as _os
+_USE_FUSED_OT = _os.environ.get("S2M2_FUSED_OT", "") == "1"
 
 
 def set_use_fused_ot(enabled: bool):

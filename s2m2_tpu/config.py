@@ -6,7 +6,6 @@ and src/s2m2/core/model/s2m2.py:14-28) but as a typed dataclass instead of ad-ho
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax.numpy as jnp
 

@@ -23,15 +23,17 @@ REFERENCE_ROOT = "/root/reference"
 def main(reference_root=REFERENCE_ROOT,
          out_path=None,
          feature_channels=32, num_transformer=1, refine_iter=2,
-         height=64, width=96, seed=7):
+         height=64, width=96, seed=7, use_positivity=True,
+         output_upsample=False, tag=""):
     sys.path.insert(0, os.path.join(reference_root, "src"))
     import torch
     torch.manual_seed(seed)
     from s2m2.core.model.s2m2 import S2M2  # reference oracle
 
     model = S2M2(feature_channels=feature_channels, dim_expansion=1,
-                 num_transformer=num_transformer, use_positivity=True,
-                 output_upsample=False, refine_iter=refine_iter)
+                 num_transformer=num_transformer,
+                 use_positivity=use_positivity,
+                 output_upsample=output_upsample, refine_iter=refine_iter)
     model.eval()
 
     rng = np.random.default_rng(seed)
@@ -44,17 +46,17 @@ def main(reference_root=REFERENCE_ROOT,
     flat = convert_state_dict(model.state_dict())
     if out_path is None:
         here = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
-        out_path = os.path.join(here, "tests", "golden",
-                                f"s2m2_c{feature_channels}_ntr{num_transformer}.npz")
+        out_path = os.path.join(
+            here, "tests", "golden",
+            f"s2m2_c{feature_channels}_ntr{num_transformer}{tag}.npz")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
-    meta = dict(feature_channels=feature_channels,
-                num_transformer=num_transformer, refine_iter=refine_iter)
     np.savez_compressed(
         out_path,
         __img0=img0, __img1=img1,
         __disp=disp.numpy(), __occ=occ.numpy(), __conf=conf.numpy(),
-        __meta=np.array([meta["feature_channels"], meta["num_transformer"],
-                         meta["refine_iter"]], np.int64),
+        __meta=np.array([feature_channels, num_transformer, refine_iter,
+                         int(use_positivity), int(output_upsample)],
+                        np.int64),
         **flat)
     print(f"golden fixture -> {out_path} "
           f"({sum(v.nbytes for v in flat.values()) / 1e6:.1f} MB of weights)")

@@ -8,7 +8,6 @@ psums).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from ..config import ModelConfig

@@ -4,7 +4,7 @@ import torch
 import torch.nn.functional as F
 import jax.numpy as jnp
 
-from s2m2_tpu.models import attention, layers
+from s2m2_tpu.models import attention
 from s2m2_tpu.models.pe import pe_contract, pe_tables
 
 

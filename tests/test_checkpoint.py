@@ -1,7 +1,6 @@
 """Orbax checkpoint save/restore round-trip, including opt_state + meta."""
 import numpy as np
 import jax
-import jax.numpy as jnp
 import optax
 
 from s2m2_tpu.config import ModelConfig

@@ -1,5 +1,4 @@
 """Distributed helpers (single-process degradation paths)."""
-import numpy as np
 import pytest
 
 from s2m2_tpu.parallel.distributed import (global_mesh, initialize_distributed,

@@ -1,7 +1,6 @@
 """StereoEngine: tolerant checkpoint loading, run() pipeline, profiling utils."""
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from s2m2_tpu.config import ModelConfig
 from s2m2_tpu.models.init import init_params

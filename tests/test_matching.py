@@ -4,7 +4,6 @@ import torch
 import torch.nn.functional as F
 import jax.numpy as jnp
 
-from s2m2_tpu.models import layers
 from s2m2_tpu.models.matching import disp_init, optimal_transport
 
 

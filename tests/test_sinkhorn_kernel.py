@@ -3,7 +3,6 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from s2m2_tpu.models import layers
 from s2m2_tpu.models.matching import optimal_transport
 from s2m2_tpu.ops.sinkhorn import fused_correlation_ot
 

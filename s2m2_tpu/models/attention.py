@@ -111,14 +111,19 @@ def self_attn(p, x, num_heads, pe=None):
 
 def cross_attn(p, x, y, num_heads):
     """Symmetric weight-shared bidirectional cross attention
-    (reference: attentions.py:57-96)."""
+    (reference: attentions.py:57-96).
+
+    The two views share Q/K/V weights, so each projection runs ONCE on the
+    batch-concatenated views (one matmul at 2x rows instead of two dispatches
+    — identical floats, half the HLO ops and layout copies)."""
     b0 = x.shape[0]
-    qx = _split_heads(layers.linear(p["q"], x), num_heads)
-    kx = _split_heads(layers.linear(p["k"], x), num_heads)
-    vx = _split_heads(layers.linear(p["v"], x), num_heads)
-    qy = _split_heads(layers.linear(p["q"], y), num_heads)
-    ky = _split_heads(layers.linear(p["k"], y), num_heads)
-    vy = _split_heads(layers.linear(p["v"], y), num_heads)
+    xy = jnp.concatenate([x, y], axis=0)
+    q = _split_heads(layers.linear(p["q"], xy), num_heads)
+    k = _split_heads(layers.linear(p["k"], xy), num_heads)
+    v = _split_heads(layers.linear(p["v"], xy), num_heads)
+    qx, qy = q[:b0], q[b0:]
+    kx, ky = k[:b0], k[b0:]
+    vx, vy = v[:b0], v[b0:]
     b, h, n, d = qx.shape
     if _pallas_ok(n, "cross"):
         fold = lambda t: t.reshape(b * h, n, d)
@@ -150,13 +155,15 @@ def self_attn_block_1d(p, z, num_heads):
 
 def cross_attn_block_1d(p, z, num_heads):
     """Scanline cross-view attention. z is (2B, H, W, C), left half then right
-    half on the batch axis (reference: 131-161)."""
-    z_norm = layers.layer_norm(z)
-    x, y = jnp.split(z_norm, 2, axis=0)
-    b, h, w, c = x.shape
-    x, y = x.reshape(b * h, w, c), y.reshape(b * h, w, c)
-    x, y = cross_attn(p["attn"], x, y, num_heads)
-    out = jnp.concatenate([x.reshape(b, h, w, c), y.reshape(b, h, w, c)], axis=0)
+    half on the batch axis (reference: 131-161).
+
+    Folding (2B, H, W, C) -> (2B*H, W, C) keeps the left view's rows in the
+    first half of the folded batch, so the view split happens once, after the
+    shared Q/K/V projections inside cross_attn."""
+    b2, h, w, c = z.shape
+    zf = layers.layer_norm(z).reshape(b2 * h, w, c)
+    x, y = cross_attn(p["attn"], zf[:b2 * h // 2], zf[b2 * h // 2:], num_heads)
+    out = jnp.concatenate([x, y], axis=0).reshape(b2, h, w, c)
     return out + z
 
 
@@ -171,12 +178,10 @@ def self_attn_block_2d(p, z, num_heads, pe=None):
 
 def cross_attn_block_2d(p, z, num_heads):
     """Global 2D cross-view attention (reference: 197-226)."""
-    z_norm = layers.layer_norm(z)
-    x, y = jnp.split(z_norm, 2, axis=0)
-    b, h, w, c = x.shape
-    x, y = x.reshape(b, h * w, c), y.reshape(b, h * w, c)
-    x, y = cross_attn(p["attn"], x, y, num_heads)
-    out = jnp.concatenate([x.reshape(b, h, w, c), y.reshape(b, h, w, c)], axis=0)
+    b2, h, w, c = z.shape
+    zf = layers.layer_norm(z).reshape(b2, h * w, c)
+    x, y = cross_attn(p["attn"], zf[:b2 // 2], zf[b2 // 2:], num_heads)
+    out = jnp.concatenate([x, y], axis=0).reshape(b2, h, w, c)
     return out + z
 
 

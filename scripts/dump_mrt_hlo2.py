@@ -1,0 +1,80 @@
+"""Summarize ENTRY-computation ops of stacked_mrt by output bytes (dev tool)."""
+import collections
+import re
+import jax
+import jax.numpy as jnp
+
+from s2m2_tpu.config import get_config
+from s2m2_tpu.models.init import init_params
+from s2m2_tpu.models.mrt import stacked_mrt
+
+MODEL = "XL"
+W, H = 1216, 1024
+
+
+def main():
+    cfg = get_config(MODEL)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                          init_params(cfg, seed=0))
+    c = cfg.ch
+    h4, w4 = H // 4, W // 4
+    z0 = jnp.zeros((2, h4, w4, c), jnp.bfloat16)
+    z1 = jnp.zeros((2, h4 // 2, w4 // 2, c), jnp.bfloat16)
+    z2 = jnp.zeros((2, h4 // 4, w4 // 4, 2 * c), jnp.bfloat16)
+    z3 = jnp.zeros((2, h4 // 8, w4 // 8, 2 * c), jnp.bfloat16)
+
+    fn = lambda p, a, b, cc, d: stacked_mrt(
+        p, a, b, cc, d, num_transformer=cfg.num_transformer,
+        num_heads=cfg.num_heads)
+    comp = jax.jit(fn).lower(params["transformer"], z0, z1, z2, z3).compile()
+    txt = comp.as_text()
+
+    # isolate ENTRY computation
+    entry = txt[txt.index("ENTRY "):]
+    lines = entry.splitlines()[1:]
+    dt_bytes = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "pred": 1,
+                "u32": 4, "u8": 1, "s8": 1}
+    shape_pat = re.compile(r"=\s+\(?((?:f32|bf16|f16|s32|pred|u32|u8|s8)\[[0-9,]*\][^ )]*)")
+
+    def nbytes(spec):
+        dt = spec.split("[")[0]
+        dims = spec[spec.index("[") + 1:spec.index("]")]
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        return n * dt_bytes[dt]
+
+    groups = collections.Counter()
+    counts = collections.Counter()
+    biggest = []
+    for line in lines:
+        ls = line.strip()
+        if not ls or ls.startswith("ROOT") and "tuple(" in ls:
+            continue
+        m = shape_pat.search(ls)
+        if m is None or "parameter(" in ls:
+            continue
+        spec = m.group(1)
+        b = nbytes(spec)
+        # op kind
+        rhs = ls.split("=", 1)[1]
+        toks = rhs.split("(")[0].strip().split()
+        kind = toks[-1] if toks else "?"
+        if kind == "fusion":
+            km = re.search(r"kind=(\w+)", ls)
+            kind = f"fusion:{km.group(1) if km else '?'}"
+            cm = re.search(r'calls=%?([\w.\-]+)', ls)
+        groups[(kind, spec.split("{")[0])] += b
+        counts[(kind, spec.split("{")[0])] += 1
+        biggest.append((b, kind, spec, ls[:140]))
+
+    print("ENTRY ops grouped by (kind, shape), top 35 by total bytes:")
+    for (kind, spec), b in groups.most_common(35):
+        print(f"{b/1e9:8.2f} GB x{counts[(kind, spec)]:4d}  {kind:22s} {spec}")
+    total = sum(groups.values())
+    print(f"\nENTRY total output bytes: {total/1e9:.1f} GB")
+
+
+if __name__ == "__main__":
+    main()

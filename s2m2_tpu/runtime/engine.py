@@ -16,11 +16,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import ModelConfig, get_config
+from ..config import ModelConfig, Precision, get_config
 from ..models.init import init_params
 from ..models.s2m2 import forward
 from ..tools.convert_checkpoint import flatten, load_npz, nest
 from ..utils.image import image_crop, image_pad
+from .profiling import chained_timer
 
 
 def cast_params(params, dtype):
@@ -45,12 +46,16 @@ class StereoEngine:
             self.cfg = get_config(model_type_or_cfg,
                                   use_positivity=use_positivity,
                                   refine_iter=refine_iter)
-        self.compute_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+        if isinstance(precision, str):
+            precision = (Precision.bf16() if precision == "bf16"
+                         else Precision.fp32())
+        self.precision = precision
+        self.compute_dtype = precision.compute_dtype
         if checkpoint:
             params = self._tolerant_load(checkpoint, seed)
         else:
             params = init_params(self.cfg, seed=seed)
-        self.params = cast_params(params, self.compute_dtype)
+        self.params = cast_params(params, precision.param_dtype)
         self.mesh = mesh
         self.in_shardings = in_shardings
         if mesh is not None and in_shardings is not None:
@@ -127,24 +132,19 @@ class StereoEngine:
         np.asarray(out[0])  # warm compile + sync (block_until_ready is
         # unreliable on the tunneled axon platform; host fetch syncs)
         if n_repeat > 1:
-            # chained-dependency timing: the runtime elides repeated identical
-            # executions, so each iteration must consume the previous one
+            # chained-dependency timing (see profiling.chained_timer): the
+            # runtime elides repeated identical executions, so each
+            # iteration's *inputs* must depend on the previous output
             cfg = self.cfg
+            params = self.params
 
-            @jax.jit
-            def _step(params, a, b, s):
-                d, _, _ = forward(params, a, b, cfg)
-                return s + d.astype(jnp.float32).mean()
+            def fwd(a, b):
+                return forward(params, a, b, cfg)[0]
 
             a = jnp.asarray(lp, self.compute_dtype)
             b = jnp.asarray(rp, self.compute_dtype)
-            s = _step(self.params, a, b, jnp.float32(0))
-            float(s)
-            t0 = time.perf_counter()
-            for _ in range(n_repeat):
-                s = _step(self.params, a, b, s)
-            float(s)
-            runtime_ms = (time.perf_counter() - t0) * 1e3 / n_repeat
+            runtime_ms = chained_timer(fwd, a, b, n_iter=n_repeat,
+                                       n_warmup=1) * 1e3
         else:
             t0 = time.perf_counter()
             out2 = self.forward_padded(lp, rp)
@@ -169,30 +169,25 @@ class StereoEngine:
     def benchmark(self, height, width, n_warmup=2, n_iter=10, batch=1):
         """FPS at a fixed (padded) resolution with synthetic inputs.
 
-        Iterations are chained through a scalar data dependency so the device
-        must execute every frame (the runtime caches/elides repeated identical
-        executions, and dispatch is async — naive loops measure nothing).
+        Timing goes through profiling.chained_timer — the single honest
+        timing implementation: each iteration's inputs are perturbed by a
+        non-constant-foldable epsilon of the carried scalar, so the device
+        must execute every frame (the runtime caches/elides repeated
+        identical executions, and dispatch is async — naive loops measure
+        nothing, and `x + s*0` forms are one algebraic simplification away
+        from elision).
         """
         cfg = self.cfg
+        params = self.params
 
-        @jax.jit
-        def step(params, a, b, s):
-            d, _, _ = forward(params, a + s.astype(a.dtype) * 0, b, cfg)
-            return s + d.astype(jnp.float32).mean()
+        def fwd(a, b):
+            return forward(params, a, b, cfg)[0]
 
         rng = np.random.default_rng(0)
         a = jnp.asarray(rng.uniform(0, 255, (batch, height, width, 3)),
                         self.compute_dtype)
         b = jnp.asarray(rng.uniform(0, 255, (batch, height, width, 3)),
                         self.compute_dtype)
-        s = jnp.float32(0)
-        for _ in range(n_warmup):
-            s = step(self.params, a, b, s)
-        float(s)
-        t0 = time.perf_counter()
-        for _ in range(n_iter):
-            s = step(self.params, a, b, s)
-        float(s)  # host sync
-        dt = (time.perf_counter() - t0) / n_iter
+        dt = chained_timer(fwd, a, b, n_iter=n_iter, n_warmup=n_warmup)
         return dict(seconds_per_frame=dt / batch, fps=batch / dt,
                     height=height, width=width, batch=batch)

@@ -41,8 +41,12 @@ def bench(name, b, h, w, cin, cout, k, stride=1, lhs_dil=1):
     x = jnp.asarray(rng.normal(size=(b, h, w, cin)), jnp.bfloat16)
     wt = jnp.asarray(rng.normal(size=(k, k, cin, cout)), jnp.bfloat16)
     dt = timed(lambda x, w: conv(x, w, stride, lhs_dil), x, wt)
-    ho, wo = (h * lhs_dil) // stride, (w * lhs_dil) // stride
-    fl = 2 * b * ho * wo * k * k * cin * cout
+    # true output extent of an lhs-dilated conv with k//2 padding
+    ho = ((h - 1) * lhs_dil + 1 + 2 * (k // 2) - k) // stride + 1
+    wo = ((w - 1) * lhs_dil + 1 + 2 * (k // 2) - k) // stride + 1
+    # for lhs-dilated (transposed) convs only k*k/lhs_dil^2 taps per output
+    # pixel hit real (non-inserted-zero) inputs — don't overcount FLOPs
+    fl = 2 * b * ho * wo * k * k * cin * cout // (lhs_dil * lhs_dil)
     gb = (x.size + wt.size + b * ho * wo * cout) * 2 / 1e9
     print(f"{name:34s} {dt*1e3:7.2f} ms  {fl/dt/1e12:6.1f} TF/s "
           f"({fl/dt/1e12/PEAK_TF*100:4.1f}% MXU)  bw {gb/dt:6.0f} GB/s")

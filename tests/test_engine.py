@@ -53,3 +53,48 @@ def test_chained_timer_and_flops(rng):
     assert dt > 0
     rep = flops_report(lambda a, b: a @ b, x, w)
     assert rep["tflops"] > 0
+
+
+def test_chained_timer_canary(rng):
+    """The timing harness must not let repeated executions collapse.
+
+    A fn whose cost scales with its iteration count must time proportionally
+    slower — if the runtime/XLA elided the chained executions (e.g. via
+    constant folding of the perturbation term), heavy and light would
+    measure the same dispatch floor.
+    """
+    import jax.lax as lax
+
+    x = jnp.asarray(rng.standard_normal((256, 256), dtype=np.float32))
+
+    def make(n_mm):
+        def f(a):
+            def body(c, _):
+                c = jnp.tanh(c @ c.T) / 16.0
+                return c, ()
+            out, _ = lax.scan(body, a, None, length=n_mm)
+            return out
+        return f
+
+    light = min(chained_timer(make(1), x, n_iter=5, n_warmup=2)
+                for _ in range(3))
+    heavy = min(chained_timer(make(400), x, n_iter=5, n_warmup=2)
+                for _ in range(3))
+    assert heavy > 3.0 * light, (heavy, light)
+
+
+def test_benchmark_uses_chained_timer(monkeypatch):
+    """engine.benchmark routes through the single honest timing impl."""
+    import s2m2_tpu.runtime.engine as engine_mod
+
+    calls = {}
+
+    def fake_timer(fn, *args, n_iter=10, n_warmup=1):
+        calls["n_iter"] = n_iter
+        return 0.25
+
+    monkeypatch.setattr(engine_mod, "chained_timer", fake_timer)
+    eng = StereoEngine(CFG, precision="fp32")
+    res = eng.benchmark(32, 64, n_warmup=0, n_iter=7)
+    assert calls["n_iter"] == 7
+    assert res["fps"] == 4.0

@@ -33,8 +33,9 @@ def test_band_sharded_matches_unsharded(small_setup):
     got = f(jax.device_put(params, rep), jax.device_put(img0, img_s),
             jax.device_put(img1, img_s))
 
+    # not bitwise: GSPMD changes reduction order (measured ~1e-5 max abs)
     for r, g, name in zip(ref, got, ("disp", "occ", "conf")):
-        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=5e-4,
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=5e-5,
                                    err_msg=name)
 
 

@@ -19,8 +19,10 @@ from .feature_fusion import feature_fusion
 from .matching import disp_init
 from .mrt import stacked_mrt
 from .refiners import global_refiner, local_refiner
+from .packing import depth_to_space
 from .unet import unet
-from .upsampling import upsample1x, upsample4x, upsample_mask_1x, upsample_mask_4x
+from .upsampling import (upsample1x, upsample1x_multi, upsample4x_packed,
+                         upsample_mask_1x_packed, upsample_mask_4x_packed)
 
 
 def normalize_img(img):
@@ -81,20 +83,26 @@ def forward(params, img0, img1, cfg: ModelConfig):
         occ_mask = (coords_4x - disp) >= 0
         occ = occ * occ_mask
 
-    # 4x convex upsampling
-    upsample_mask = upsample_mask_4x(
+    # 4x convex upsampling — mask heads and the convex combination run at
+    # half res in the phase-major packed layout (see upsampling.py docstring)
+    mask_p = upsample_mask_4x_packed(
         params["upsample_mask_4x_refine"], hidden, feature0_2x)
-    disp_up = upsample4x(disp * 4, upsample_mask)
-    occ_up = upsample4x(occ, upsample_mask)
-    conf_up = upsample4x(conf, upsample_mask)
+    ups = upsample4x_packed([disp * 4, occ, conf], mask_p)  # (B,Hp,Wp,4,3)
 
     # edge-guided 1x sharpening
-    filter_weights = upsample_mask_1x(
-        params["upsample_mask_1x"], disp_up, img0_nor, feature0_2x)
-    disp_up = upsample1x(disp_up, filter_weights, cfg.output_upsample)
-    occ_up = upsample1x(occ_up, filter_weights, cfg.output_upsample)
-    conf_up = upsample1x(conf_up, filter_weights, cfg.output_upsample)
+    filter_p = upsample_mask_1x_packed(
+        params["upsample_mask_1x"], ups[..., 0], img0_nor, feature0_2x)
+    b, hp, wp = ups.shape[:3]
+    full = depth_to_space(ups.reshape(b, hp, wp, 12))       # (B,H,W,3)
+    filt = depth_to_space(filter_p.reshape(b, hp, wp, 36))  # (B,H,W,9)
     if cfg.output_upsample:
-        disp_up = 2 * disp_up
+        disp_up = 2 * upsample1x(full[..., 0:1], filt, True)
+        occ_up = upsample1x(full[..., 1:2], filt, True)
+        conf_up = upsample1x(full[..., 2:3], filt, True)
+    else:
+        out = upsample1x_multi(full, filt)
+        disp_up = out[..., 0:1]
+        occ_up = out[..., 1:2]
+        conf_up = out[..., 2:3]
 
     return disp_up, occ_up, conf_up

@@ -1,5 +1,14 @@
 """Convex upsampling masks and the RAFT-style upsample ops
 (reference: src/s2m2/core/model/submodules.py:96-145 and s2m2.py:101-133).
+
+TPU reformulation: both mask heads run tiny-channel convs at (or into) full
+resolution — far below the TPU's 128 channel lanes. The packed variants
+(`*_packed`) run exact weight-rearranged equivalents on the half-res
+phase-major packed grid (see packing.py): stride-2 2x2 transposed convs
+become 1x1 convs emitting packed channels, full-res 3x3 convs become packed
+3x3 convs at 4x channels, and the final 9-channel mask stays packed
+(B, H/2, W/2, 4, 9) so the softmax and the convex combinations also run at
+half resolution. The unpacked originals are kept as numerics oracles.
 """
 from __future__ import annotations
 
@@ -7,6 +16,9 @@ import jax
 import jax.numpy as jnp
 
 from . import layers
+from .packing import (concat_packed, depth_to_space, pack_conv_s1,
+                      pack_convT2x2, pack_convT3x3, pack_pointwise,
+                      space_to_depth)
 
 
 def upsample_mask_4x(p, feat_x, feat_y):
@@ -18,6 +30,21 @@ def upsample_mask_4x(p, feat_x, feat_y):
     z = layers.conv2d(p["conv_concat"]["0"], z)
     z = layers.conv_transpose2d(p["conv_concat"]["2"], layers.relu(z), stride=2)
     return z  # (B, H, W, 9)
+
+
+def upsample_mask_4x_packed(p, feat_x, feat_y):
+    """Packed-output variant: returns (B, H/2, W/2, 4, 9) phase-major.
+
+    The convT(k2,s2) C->64 becomes a 1x1 C->256 at 1/4 + depth-to-space;
+    the final convT(k2,s2) 128->9 becomes a 1x1 128->36 that stays packed.
+    """
+    fx = depth_to_space(layers.conv2d(pack_convT2x2(p["conv_x"]), feat_x))
+    fy = layers.conv2d(p["conv_y"], feat_y)
+    z = jnp.concatenate([fx, fy], axis=-1)
+    z = layers.conv2d(p["conv_concat"]["0"], z)
+    z = layers.conv2d(pack_convT2x2(p["conv_concat"]["2"]), layers.relu(z))
+    b, hp, wp, _ = z.shape
+    return z.reshape(b, hp, wp, 4, 9)
 
 
 def upsample_mask_1x(p, disp, rgb, ctx):
@@ -32,6 +59,26 @@ def upsample_mask_1x(p, disp, rgb, ctx):
     return z  # (B, H, W, 9)
 
 
+def upsample_mask_1x_packed(p, disp_packed, rgb, ctx):
+    """Packed variant: all convs run at half res on packed channels.
+
+    disp_packed: (B, H/2, W/2, 4) phase-major full-res disparity.
+    rgb: (B, H, W, 3) normalized image (space-to-depth'd here).
+    ctx: (B, H/2, W/2, C) half-res features.
+    Returns (B, H/2, W/2, 4, 9) phase-major filter weights.
+    """
+    fd = layers.relu(
+        layers.conv2d(pack_convT3x3(p["conv_disp"]["0"]), disp_packed))
+    fr = layers.relu(
+        layers.conv2d(pack_convT3x3(p["conv_rgb"]["0"]), space_to_depth(rgb)))
+    fc = layers.conv2d(pack_convT2x2(p["conv_ctx"]), ctx)
+    z = concat_packed([fd, fr, fc], [16, 16, 16])
+    z = layers.conv2d(pack_conv_s1(p["conv_concat"]["0"]), z)
+    z = layers.conv2d(pack_pointwise(p["conv_concat"]["2"]), layers.relu(z))
+    b, hp, wp, _ = z.shape
+    return z.reshape(b, hp, wp, 4, 9)
+
+
 def upsample4x(x, up_weights):
     """Convex 4x upsample: 3x3 unfold, nearest x4, softmax-weighted sum
     (reference: s2m2.py:101-114). x: (B,h,w,1), up_weights: (B,4h,4w,9)."""
@@ -39,6 +86,28 @@ def upsample4x(x, up_weights):
     x_unfold = layers.upsample_nearest(x_unfold, 4)    # (B,4h,4w,9)
     w = jax.nn.softmax(up_weights.astype(jnp.float32), axis=-1).astype(x.dtype)
     return jnp.sum(x_unfold * w, axis=-1, keepdims=True)
+
+
+def upsample4x_packed(xs, up_weights_packed):
+    """Convex 4x upsample of several 1-channel maps with a shared packed
+    mask, staying at half res.
+
+    Exactness: the full-res pixel (2p+a, 2q+b) draws from the 1/4-res
+    neighborhood at index ((2p+a)//4, (2q+b)//4) == (p//2, q//2) for all
+    phases, so a nearest x2 (not x4) of the unfolded taps suffices.
+
+    xs: list of (B, h, w, 1) quarter-res maps.
+    up_weights_packed: (B, 2h, 2w, 4, 9).
+    Returns (B, 2h, 2w, 4, len(xs)) phase-major packed full-res outputs.
+    """
+    x = jnp.concatenate(xs, axis=-1)                   # (B,h,w,C)
+    c = x.shape[-1]
+    b, h, w, _ = x.shape
+    xu = layers.unfold9(x).reshape(b, h, w, 9, c)      # tap-major
+    xu = layers.upsample_nearest(xu, 2)                # (B,2h,2w,9,C)
+    wgt = jax.nn.softmax(up_weights_packed.astype(jnp.float32),
+                         axis=-1).astype(x.dtype)      # (B,2h,2w,4,9)
+    return jnp.einsum("bpqtc,bpqft->bpqfc", xu, wgt)
 
 
 def upsample1x(disp, filter_weights, output_upsample=False):
@@ -51,3 +120,16 @@ def upsample1x(disp, filter_weights, output_upsample=False):
             filter_weights, (b, 2 * h, 2 * w, c), method="bilinear")
     w = jax.nn.softmax(filter_weights.astype(jnp.float32), axis=-1).astype(disp.dtype)
     return jnp.sum(disp_unfold * w, axis=-1, keepdims=True)
+
+
+def upsample1x_multi(x, filter_weights):
+    """Edge-guided filter applied to C maps with one shared softmax.
+
+    x: (B, H, W, C) full-res maps; filter_weights: (B, H, W, 9).
+    Returns (B, H, W, C).
+    """
+    b, h, w, c = x.shape
+    xu = layers.unfold9(x).reshape(b, h, w, 9, c)
+    wgt = jax.nn.softmax(filter_weights.astype(jnp.float32),
+                         axis=-1).astype(x.dtype)
+    return jnp.einsum("bhwtc,bhwt->bhwc", xu, wgt)

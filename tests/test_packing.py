@@ -1,0 +1,164 @@
+"""Space-to-depth conv reformulations must match the direct ops exactly
+(up to float reassociation)."""
+import numpy as np
+import jax.numpy as jnp
+
+from s2m2_tpu.models import layers, packing
+from s2m2_tpu.models.encoder import cnn_encoder, cnn_encoder_unpacked
+from s2m2_tpu.models.init import _conv, _Rng
+from s2m2_tpu.models.upsampling import (upsample1x, upsample1x_multi,
+                                        upsample4x, upsample4x_packed,
+                                        upsample_mask_1x,
+                                        upsample_mask_1x_packed,
+                                        upsample_mask_4x,
+                                        upsample_mask_4x_packed)
+
+
+def _rand(rng, shape):
+    return jnp.asarray(rng.standard_normal(shape), jnp.float32)
+
+
+def test_s2d_d2s_roundtrip(rng):
+    x = _rand(rng, (2, 8, 12, 5))
+    p = packing.space_to_depth(x)
+    assert p.shape == (2, 4, 6, 20)
+    np.testing.assert_array_equal(np.asarray(packing.depth_to_space(p)),
+                                  np.asarray(x))
+    # phase-major convention: packed[..., (a*2+b)*C + c] == full[2p+a, 2q+b, c]
+    np.testing.assert_array_equal(np.asarray(p[0, 1, 2, 3 * 5 + 4]),
+                                  np.asarray(x[0, 3, 5, 4]))
+
+
+def test_pack_pointwise(rng):
+    r = _Rng(0)
+    p = _conv(r, 3, 16, 1)
+    x = _rand(rng, (2, 8, 12, 3))
+    ref = layers.conv2d(p, x)
+    got = packing.depth_to_space(
+        layers.conv2d(packing.pack_pointwise(p), packing.space_to_depth(x)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_pack_strided_conv_5x5(rng):
+    r = _Rng(1)
+    p = _conv(r, 16, 24, 5)
+    x = _rand(rng, (2, 16, 12, 16))
+    ref = layers.conv2d(p, x, stride=2)
+    got = layers.conv2d(packing.pack_strided_conv(p),
+                        packing.space_to_depth(x))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_pack_strided_conv_3x3(rng):
+    r = _Rng(2)
+    p = _conv(r, 8, 12, 3)
+    x = _rand(rng, (1, 10, 14, 8))
+    ref = layers.conv2d(p, x, stride=2)
+    got = layers.conv2d(packing.pack_strided_conv(p),
+                        packing.space_to_depth(x))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_pack_conv_s1(rng):
+    r = _Rng(3)
+    p = _conv(r, 5, 7, 3)
+    x = _rand(rng, (2, 8, 10, 5))
+    ref = layers.conv2d(p, x)
+    got = packing.depth_to_space(
+        layers.conv2d(packing.pack_conv_s1(p), packing.space_to_depth(x)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_pack_convT2x2(rng):
+    r = _Rng(4)
+    p = _conv(r, 6, 4, 2)
+    x = _rand(rng, (2, 5, 7, 6))
+    ref = layers.conv_transpose2d(p, x, stride=2)
+    got = packing.depth_to_space(layers.conv2d(packing.pack_convT2x2(p), x))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_pack_convT3x3(rng):
+    r = _Rng(5)
+    p = _conv(r, 2, 6, 3)
+    x = _rand(rng, (1, 8, 6, 2))
+    ref = layers.conv_transpose2d(p, x, padding=1)
+    got = packing.depth_to_space(
+        layers.conv2d(packing.pack_convT3x3(p), packing.space_to_depth(x)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_concat_packed(rng):
+    a = _rand(rng, (1, 6, 8, 3))
+    b = _rand(rng, (1, 6, 8, 5))
+    ref = packing.space_to_depth(jnp.concatenate([a, b], axis=-1))
+    got = packing.concat_packed(
+        [packing.space_to_depth(a), packing.space_to_depth(b)], [3, 5])
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_packed_encoder_matches_unpacked(rng):
+    from s2m2_tpu.config import ModelConfig
+    from s2m2_tpu.models.init import init_params
+    cfg = ModelConfig(feature_channels=32, num_transformer=1)
+    p = init_params(cfg, seed=0)["cnn_backbone"]
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 32, 48, 3)), jnp.float32)
+    r4, r2 = cnn_encoder_unpacked(p, x)
+    g4, g2 = cnn_encoder(p, x)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(r2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(g4), np.asarray(r4), atol=2e-5)
+
+
+def test_packed_upsample_mask_4x(rng):
+    from s2m2_tpu.config import ModelConfig
+    from s2m2_tpu.models.init import init_params
+    cfg = ModelConfig(feature_channels=32, num_transformer=1)
+    p = init_params(cfg, seed=1)["upsample_mask_4x_refine"]
+    feat_x = _rand(rng, (1, 8, 12, 32))
+    feat_y = _rand(rng, (1, 16, 24, 32))
+    ref = upsample_mask_4x(p, feat_x, feat_y)                 # (B,H,W,9)
+    got_p = upsample_mask_4x_packed(p, feat_x, feat_y)        # (B,H/2,W/2,4,9)
+    b, hp, wp = got_p.shape[:3]
+    got = packing.depth_to_space(got_p.reshape(b, hp, wp, 36))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_packed_upsample_mask_1x(rng):
+    from s2m2_tpu.config import ModelConfig
+    from s2m2_tpu.models.init import init_params
+    cfg = ModelConfig(feature_channels=32, num_transformer=1)
+    p = init_params(cfg, seed=2)["upsample_mask_1x"]
+    disp = _rand(rng, (1, 32, 48, 1))
+    rgb = _rand(rng, (1, 32, 48, 3))
+    ctx = _rand(rng, (1, 16, 24, 32))
+    ref = upsample_mask_1x(p, disp, rgb, ctx)
+    got_p = upsample_mask_1x_packed(
+        p, packing.space_to_depth(disp)[..., :], rgb, ctx)
+    b, hp, wp = got_p.shape[:3]
+    got = packing.depth_to_space(got_p.reshape(b, hp, wp, 36))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_packed_upsample4x(rng):
+    disp = _rand(rng, (1, 8, 12, 1))
+    occ = _rand(rng, (1, 8, 12, 1))
+    mask = _rand(rng, (1, 32, 48, 9))
+    ref_d = upsample4x(disp, mask)
+    ref_o = upsample4x(occ, mask)
+    mask_p = packing.space_to_depth(mask).reshape(1, 16, 24, 4, 9)
+    got_p = upsample4x_packed([disp, occ], mask_p)            # (B,Hp,Wp,4,2)
+    got = packing.depth_to_space(got_p.reshape(1, 16, 24, 8))
+    np.testing.assert_allclose(np.asarray(got[..., 0:1]), np.asarray(ref_d),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got[..., 1:2]), np.asarray(ref_o),
+                               atol=1e-5)
+
+
+def test_upsample1x_multi(rng):
+    x = _rand(rng, (1, 16, 24, 3))
+    filt = _rand(rng, (1, 16, 24, 9))
+    ref = [upsample1x(x[..., i:i + 1], filt) for i in range(3)]
+    got = upsample1x_multi(x, filt)
+    for i in range(3):
+        np.testing.assert_allclose(np.asarray(got[..., i:i + 1]),
+                                   np.asarray(ref[i]), atol=1e-5)

@@ -51,7 +51,8 @@ def confidence_auc(pred, gt, conf, valid=None, n_steps=20):
     conf = np.asarray(conf, np.float64).ravel()
     if valid is None:
         valid = np.isfinite(gt)
-    valid = (valid & np.isfinite(gt)).ravel()
+    else:
+        valid = np.asarray(valid).ravel() & np.isfinite(gt)
     err = np.abs(pred - gt)[valid]
     c = conf[valid]
     if err.size == 0:

@@ -66,3 +66,60 @@ def test_evaluate_sample_error_returns_zero():
                                  np.zeros((8, 8, 3), np.uint8),
                                  {"bad": "calib"}, 0, 0, 0)
     assert score == 0.0
+
+
+def test_keypoint_estimate_rotation_synthetic():
+    """estimate_rotation recovers a known relative pose from exact
+    synthetic correspondences (3D cloud projected through two cameras)."""
+    from s2m2_tpu.calibration.keypoint import estimate_rotation
+
+    rng = np.random.default_rng(0)
+    K = np.array([[800.0, 0, 320.0], [0, 800.0, 240.0], [0, 0, 1.0]])
+    R_true = euler_to_rotation_matrix(0.02, -0.01, 0.015)
+    t = np.array([-1.0, 0.02, 0.01])
+    pts3d = np.c_[rng.uniform(-2, 2, 200), rng.uniform(-1.5, 1.5, 200),
+                  rng.uniform(4, 12, 200)]
+
+    def project(P, R, t):
+        cam = P @ R.T + t
+        uv = cam[:, :2] / cam[:, 2:3]
+        return (uv * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]).astype(np.float32)
+
+    pts1 = project(pts3d, np.eye(3), np.zeros(3))
+    pts2 = project(pts3d, R_true, t)
+    R_est, err = estimate_rotation(pts1, pts2, K)
+    assert err is None
+    # recoverPose convention matches the generator's world->cam rotation
+    np.testing.assert_allclose(R_est, R_true, atol=1e-3)
+
+
+def test_keypoint_calibration_uniform_contract():
+    """Every exit path returns the same dict schema (the reference returned
+    a bare rotation matrix on failure — redesigned away)."""
+    from s2m2_tpu.calibration.keypoint import keypoint_based_calibration
+
+    calib = _calib_data()
+    # blank images: no keypoints -> failure dict, zero deltas, calib unchanged
+    blank = np.zeros((64, 64), np.uint8)
+    res = keypoint_based_calibration(blank, blank, calib, verbose=False)
+    assert res["success"] is False and res["roll_delta"] == 0.0
+    np.testing.assert_array_equal(
+        res["calib_data_new"]["stereo_extrinsic"]["rotation"],
+        calib["stereo_extrinsic"]["rotation"])
+
+    # textured pair with pure horizontal shift: success, near-zero rotation
+    rng = np.random.default_rng(1)
+    import cv2
+    tex = cv2.GaussianBlur(
+        rng.integers(0, 255, (240, 320), dtype=np.uint8), (0, 0), 1.5)
+    left = tex
+    right = np.roll(tex, -7, axis=1)
+    res2 = keypoint_based_calibration(left, right, calib, verbose=False)
+    assert set(res2) == set(res)
+    if res2["success"]:  # SIFT found enough matches
+        assert res2["num_matches"] >= 10
+        R = res2["calib_data_new"]["stereo_extrinsic"]["rotation"]
+        np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-6)
+        # (planar pure-shift data is pose-degenerate, so the recovered
+        # rotation itself isn't asserted here — accuracy is pinned by
+        # test_keypoint_estimate_rotation_synthetic on exact 3D geometry)

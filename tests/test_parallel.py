@@ -48,3 +48,39 @@ def test_dryrun_multichip_entrypoint():
     m = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m)
     m.dryrun_multichip(8)
+
+
+def test_aot_band_sharded_xl_compiles_with_collectives():
+    """AOT-compile the band-sharded XL forward at the real benchmark shape
+    (1216x1024) on the 8-device virtual mesh: catches sharding-propagation
+    regressions that the small-shape numeric test can't (VERDICT round 1).
+    Abstract lowering — no 406M-param materialization."""
+    import collections
+    import re
+
+    from s2m2_tpu.config import get_config
+
+    cfg = get_config("XL")
+    mesh = make_mesh(n_data=1, n_band=8)
+    img_s = image_sharding(mesh)
+    rep = replicated(mesh)
+    shapes = jax.eval_shape(lambda: init_params(cfg, seed=0))
+    pa = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, jnp.bfloat16), shapes)
+    a = jax.ShapeDtypeStruct((1, 1024, 1216, 3), jnp.bfloat16)
+    f = jax.jit(lambda p, x, y: forward(p, x, y, cfg),
+                in_shardings=(rep, img_s, img_s))
+    comp = f.lower(pa, a, a).compile()   # ~1 min on CPU
+
+    txt = comp.as_text()
+    colls = collections.Counter(
+        m.group(1) for m in re.finditer(
+            r"(all-gather|all-reduce|collective-permute|reduce-scatter)", txt))
+    # conv halo exchanges over 'band' and bottleneck/cross-view all-gathers
+    # must be present; their absence means GSPMD degenerated (e.g. full
+    # replication or a broken annotation)
+    assert colls["collective-permute"] > 100, colls
+    assert colls["all-gather"] > 50, colls
+    # output shardings must keep H sharded over 'band'
+    out_sh = comp.output_shardings[0]
+    assert "band" in str(out_sh.spec), out_sh

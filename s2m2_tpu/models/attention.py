@@ -35,6 +35,25 @@ _USE_PALLAS_SELF = _env in ("all", "self")
 _USE_PALLAS_CROSS = _env in ("all", "cross")
 _MAX_PALLAS_SEQ = 768
 
+# bf16 storage for attention score/probability matrices. Softmax statistics
+# stay fp32 (the fp32-island invariant); only the HBM-resident NxN buffers
+# round to bf16 — halving the dominant MRT traffic. Parity impact is bounded
+# by tests/test_model_parity.py (golden) with the flag on.
+_BF16_SCORES = _os.environ.get("S2M2_BF16_SCORES", "1") == "1"
+
+
+def set_bf16_scores(enabled: bool):
+    global _BF16_SCORES
+    _BF16_SCORES = bool(enabled)
+
+
+def _softmax_scores(score, out_dtype):
+    """fp32-statistics softmax with configurable storage precision."""
+    if _BF16_SCORES and out_dtype != jnp.float32:
+        score = score.astype(jnp.bfloat16)
+    attn = jax.nn.softmax(score.astype(jnp.float32), axis=-1)
+    return attn.astype(out_dtype)
+
 
 def set_use_pallas(enabled=None, *, self_attn=None, cross_attn=None):
     global _USE_PALLAS_SELF, _USE_PALLAS_CROSS
@@ -54,11 +73,15 @@ def _pallas_ok(n, kind):
 
 def _split_heads(x, num_heads):
     b, n, d = x.shape
+    if num_heads == 1:  # pure reshape — no transpose copy
+        return x.reshape(b, 1, n, d)
     return x.reshape(b, n, num_heads, d // num_heads).transpose(0, 2, 1, 3)
 
 
 def _merge_heads(x):
     b, h, n, d = x.shape
+    if h == 1:
+        return x.reshape(b, n, d)
     return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
 
 
@@ -75,8 +98,8 @@ def sdpa(q, k, v):
     scale = q.shape[-1] ** -0.5
     score = jnp.einsum("bhic,bhjc->bhij", q * scale, k,
                        preferred_element_type=jnp.float32)
-    attn = jax.nn.softmax(score, axis=-1)
-    return jnp.einsum("bhij,bhjc->bhic", attn.astype(v.dtype), v,
+    attn = _softmax_scores(score, v.dtype)
+    return jnp.einsum("bhij,bhjc->bhic", attn, v,
                       preferred_element_type=jnp.float32).astype(v.dtype)
 
 
@@ -99,8 +122,8 @@ def self_attn(p, x, num_heads, pe=None):
         scale = q.shape[-1] ** -0.5
         score = jnp.einsum("bhic,bhjc->bhij", q * scale, k,
                            preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(score, axis=-1)
-        out = jnp.einsum("bhij,bhjc->bhic", attn.astype(v.dtype), v,
+        attn = _softmax_scores(score, v.dtype)
+        out = jnp.einsum("bhij,bhjc->bhic", attn, v,
                          preferred_element_type=jnp.float32).astype(v.dtype)
         pe_sum = pe_contract(attn, ty, tx, h, w).astype(v.dtype)
         out = out + layers.linear(p["pe_proj"], pe_sum)
@@ -109,34 +132,38 @@ def self_attn(p, x, num_heads, pe=None):
     return layers.linear(p["proj"], _merge_heads(out))
 
 
-def cross_attn(p, x, y, num_heads):
-    """Symmetric weight-shared bidirectional cross attention
-    (reference: attentions.py:57-96).
+def cross_attn_packed(p, xy, b0, num_heads):
+    """Symmetric weight-shared bidirectional cross attention on the packed
+    (left|right) batch (reference: attentions.py:57-96).
 
-    The two views share Q/K/V weights, so each projection runs ONCE on the
-    batch-concatenated views (one matmul at 2x rows instead of two dispatches
-    — identical floats, half the HLO ops and layout copies)."""
-    b0 = x.shape[0]
-    xy = jnp.concatenate([x, y], axis=0)
+    The two views share Q/K/V weights, so every projection runs ONCE on the
+    packed views, and the x<->y key/value swap is a half-batch roll — no
+    slice+concat round trips anywhere (the round-1 HLO showed GBs of pure
+    `copy` ops from per-view splits). xy: (2*b0, N, C), left half first.
+    """
     q = _split_heads(layers.linear(p["q"], xy), num_heads)
     k = _split_heads(layers.linear(p["k"], xy), num_heads)
     v = _split_heads(layers.linear(p["v"], xy), num_heads)
-    qx, qy = q[:b0], q[b0:]
-    kx, ky = k[:b0], k[b0:]
-    vx, vy = v[:b0], v[b0:]
-    b, h, n, d = qx.shape
+    b, h, n, d = q.shape
     if _pallas_ok(n, "cross"):
         fold = lambda t: t.reshape(b * h, n, d)
         ox, oy = _fa.scanline_cross_attention(
-            fold(qx), fold(kx), fold(vx), fold(qy), fold(ky), fold(vy))
-        ox = ox.reshape(b, h, n, d)
-        oy = oy.reshape(b, h, n, d)
+            fold(q[:b0]), fold(k[:b0]), fold(v[:b0]),
+            fold(q[b0:]), fold(k[b0:]), fold(v[b0:]))
+        out = jnp.concatenate([ox, oy], axis=0).reshape(b, h, n, d)
     else:
-        ox = sdpa(qx, ky, vy)
-        oy = sdpa(qy, kx, vx)
-    # shared projection: one stacked matmul for both views
-    out = layers.linear(p["proj"], _merge_heads(
-        jnp.concatenate([ox, oy], axis=0)))
+        # x attends to y and vice versa; contiguous half-batch slices are
+        # free (a jnp.roll of k/v measured +24 ms on XL — extra k/v copies)
+        ox = sdpa(q[:b0], k[b0:], v[b0:])
+        oy = sdpa(q[b0:], k[:b0], v[:b0])
+        out = jnp.concatenate([ox, oy], axis=0)
+    return layers.linear(p["proj"], _merge_heads(out))
+
+
+def cross_attn(p, x, y, num_heads):
+    """Two-view convenience wrapper over cross_attn_packed."""
+    b0 = x.shape[0]
+    out = cross_attn_packed(p, jnp.concatenate([x, y], axis=0), b0, num_heads)
     return out[:b0], out[b0:]
 
 

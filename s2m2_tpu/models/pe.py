@@ -71,11 +71,14 @@ def pe_contract(attn, ty, tx, h: int, w: int):
     """
     lead = attn.shape[:-2]
     a = attn.reshape(*lead, h, w, h, w)
-    ax = jnp.sum(a, axis=-2)            # (..., hq, wq, wk): marginal over yk
-    ay = jnp.sum(a, axis=-1)            # (..., hq, wq, hk): marginal over xk
-    # contract xk against TX[xq, xk, c] and hk against TY[yq, hk, c]
-    ps_x = jnp.einsum("...hqk,qkc->...hqc", ax, tx.astype(attn.dtype))
-    ps_y = jnp.einsum("...qwk,qkc->...qwc", ay, ty.astype(attn.dtype))
+    # marginals/contractions accumulate in fp32 even when attn is stored
+    # bf16 (see attention._softmax_scores) — N-term prob sums need it
+    ax = jnp.sum(a, axis=-2, dtype=jnp.float32)  # (..., hq, wq, wk)
+    ay = jnp.sum(a, axis=-1, dtype=jnp.float32)  # (..., hq, wq, hk)
+    ps_x = jnp.einsum("...hqk,qkc->...hqc", ax, tx,
+                      preferred_element_type=jnp.float32)
+    ps_y = jnp.einsum("...qwk,qkc->...qwc", ay, ty,
+                      preferred_element_type=jnp.float32)
     ps_x = ps_x.reshape(*lead, h * w, -1)
     ps_y = ps_y.reshape(*lead, h * w, -1)
-    return 0.5 * jnp.concatenate([ps_x, ps_y], axis=-1)
+    return (0.5 * jnp.concatenate([ps_x, ps_y], axis=-1)).astype(attn.dtype)

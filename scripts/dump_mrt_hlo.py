@@ -4,6 +4,9 @@
 Groups ENTRY-computation ops by (op kind [incl. fusion kind], output shape)
 so layout copies, conversions and fusion traffic stand out.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import collections
 import re

@@ -1,5 +1,8 @@
 """Micro-benchmark conv shapes used by S2M2-XL @ 1216x1024 vs MXU roofline
 (dev tool, real TPU)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 import numpy as np
 import jax

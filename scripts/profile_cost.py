@@ -1,5 +1,8 @@
 """Per-stage XLA cost analysis (FLOPs + HBM bytes) of the S2M2 forward
 (dev tool; compile-only, uses the persistent cache — no execution)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -1,4 +1,7 @@
 """Micro-benchmarks of suspect ops inside local_refiner and MRT (dev tool)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 import numpy as np
 import jax

@@ -4,6 +4,9 @@ Each stage is jitted separately and timed with chained scalar dependencies
 (see runtime/engine.py benchmark notes). Inputs for later stages are the
 actual outputs of earlier ones, so shapes/dtypes are production-real.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 import numpy as np
 import jax
@@ -20,8 +23,10 @@ from s2m2_tpu.models.cost_volume import make_cost_volume
 from s2m2_tpu.models.refiners import global_refiner, local_refiner
 from s2m2_tpu.models.feature_fusion import feature_fusion
 from s2m2_tpu.models.s2m2 import normalize_img
-from s2m2_tpu.models.upsampling import (upsample1x, upsample4x,
-                                        upsample_mask_1x, upsample_mask_4x)
+from s2m2_tpu.models.packing import depth_to_space
+from s2m2_tpu.models.upsampling import (upsample1x_multi, upsample4x_packed,
+                                        upsample_mask_1x_packed,
+                                        upsample_mask_4x_packed)
 
 MODEL = "XL"
 W, H = 1216, 1024  # width x height (reference notation)
@@ -114,12 +119,15 @@ def main():
     print(f"{'(x3 refine total)':24s} {3 * dt * 1e3:8.1f} ms")
 
     def ups(p, hidden, f2l, disp, occ, conf, img0n):
-        m = upsample_mask_4x(p["upsample_mask_4x_refine"], hidden, f2l)
-        d = upsample4x(disp * 4, m)
-        o = upsample4x(occ, m)
-        c = upsample4x(conf, m)
-        fw = upsample_mask_1x(p["upsample_mask_1x"], d, img0n, f2l)
-        return upsample1x(d, fw), upsample1x(o, fw), upsample1x(c, fw)
+        # mirrors the packed tail of models/s2m2.forward
+        m = upsample_mask_4x_packed(p["upsample_mask_4x_refine"], hidden, f2l)
+        u = upsample4x_packed([disp * 4, occ, conf], m)
+        fw = upsample_mask_1x_packed(p["upsample_mask_1x"], u[..., 0],
+                                     img0n, f2l)
+        b, hp, wp = u.shape[:3]
+        full = depth_to_space(u.reshape(b, hp, wp, 12))
+        filt = depth_to_space(fw.reshape(b, hp, wp, 36))
+        return upsample1x_multi(full, filt)
     f20 = jnp.split(f2, 2, axis=0)[0]
     _, dt = timed("upsampling", ups, params, hidden, f20, disp, occ, conf,
                   normalize_img(img0))

@@ -18,19 +18,27 @@ import jax
 import jax.numpy as jnp
 
 
-def chained_timer(fn, *args, n_iter=10, n_warmup=1):
-    """Time `fn(*args)` honestly. The first argument (a pytree of arrays)
-    is perturbed with a non-foldable negligible term derived from the carried
+def chained_timer(fn, *args, n_iter=10, n_warmup=1, perturb_arg=0):
+    """Time `fn(*args)` honestly. args[perturb_arg] (a pytree of arrays) is
+    perturbed with a non-foldable negligible term derived from the carried
     scalar, and the first output leaf folds back into the scalar.
+
+    All array inputs — model parameters included — must be passed via *args,
+    NOT closed over in `fn`: closure arrays become embedded constants in the
+    serialized computation, which the axon remote-compile endpoint rejects
+    above ~hundreds of MB (HTTP 413) and which lets XLA constant-fold
+    weights into unrepresentative code. Use `perturb_arg` to point at a
+    cheap-to-perturb input (e.g. the image, not the 406M-param tree).
 
     Returns seconds per call.
     """
 
     def step(s, *a):
-        first, rest = a[0], a[1:]
         eps = s * 1e-12
-        perturbed = jax.tree.map(lambda x: x + eps.astype(x.dtype), first)
-        out = fn(perturbed, *rest)
+        perturbed = jax.tree.map(lambda x: x + eps.astype(x.dtype),
+                                 a[perturb_arg])
+        a = a[:perturb_arg] + (perturbed,) + a[perturb_arg + 1:]
+        out = fn(*a)
         leaf = jax.tree.leaves(out)[0]
         return s + leaf.astype(jnp.float32).mean()
 

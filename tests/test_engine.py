@@ -89,12 +89,14 @@ def test_benchmark_uses_chained_timer(monkeypatch):
 
     calls = {}
 
-    def fake_timer(fn, *args, n_iter=10, n_warmup=1):
+    def fake_timer(fn, *args, n_iter=10, n_warmup=1, perturb_arg=0):
         calls["n_iter"] = n_iter
+        calls["n_args"] = len(args)   # params must be a real argument
         return 0.25
 
     monkeypatch.setattr(engine_mod, "chained_timer", fake_timer)
     eng = StereoEngine(CFG, precision="fp32")
     res = eng.benchmark(32, 64, n_warmup=0, n_iter=7)
     assert calls["n_iter"] == 7
+    assert calls["n_args"] == 3   # (params, left, right) — no closure consts
     assert res["fps"] == 4.0

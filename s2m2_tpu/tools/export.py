@@ -5,6 +5,20 @@ TPU-native replacement for the reference's ONNX/TensorRT path
 one artifact per (variant, height, width, precision), static shapes —
 mirroring the reference's static-shape ONNX constraint — loadable without the
 model source and runnable on any device with a compatible PJRT plugin.
+
+Cross-backend interop (conscious trade vs the reference's ONNX): the
+reference exports opset-18 ONNX consumable by non-NVIDIA runtimes; this
+framework's portable interchange format is StableHLO instead. Non-JAX
+consumers have two supported routes:
+  * `export_stablehlo_mlir` emits the raw versioned StableHLO MLIR module —
+    the openxla interchange format consumed by IREE, XLA:CPU/GPU/TPU via
+    PJRT, TensorFlow (tf.XlaCallModule / SavedModel), and the
+    onnx-mlir/stablehlo converter ecosystems.
+  * `export_forward` emits jax.export bytes for PJRT runtimes.
+ONNX itself is NOT emitted: torch.onnx cannot trace a JAX model, and a
+hand-written ONNX graph would be a second model implementation to keep in
+parity — the StableHLO module carries the same static-shape contract the
+reference chose for its ONNX path.
 """
 from __future__ import annotations
 
@@ -33,6 +47,28 @@ def export_forward(params, cfg: ModelConfig, height: int, width: int,
     spec = jax.ShapeDtypeStruct((batch, height, width, 3), jnp.float32)
     exported = jax_export.export(jax.jit(fn))(spec, spec)
     return exported.serialize()
+
+
+def export_stablehlo_mlir(params, cfg: ModelConfig, height: int, width: int,
+                          batch: int = 1,
+                          compute_dtype=jnp.bfloat16) -> str:
+    """Emit the model as a portable StableHLO MLIR module (text).
+
+    This is the cross-backend bridge (see module docstring): any StableHLO
+    consumer — IREE, TF XlaCallModule, PJRT backends — can compile this
+    module without JAX or the model source.
+    """
+    params = jax.tree.map(lambda x: x.astype(compute_dtype), params)
+
+    def fn(img0, img1):
+        disp, occ, conf = forward(params, img0.astype(compute_dtype),
+                                  img1.astype(compute_dtype), cfg)
+        return (disp.astype(jnp.float32), occ.astype(jnp.float32),
+                conf.astype(jnp.float32))
+
+    spec = jax.ShapeDtypeStruct((batch, height, width, 3), jnp.float32)
+    exported = jax_export.export(jax.jit(fn))(spec, spec)
+    return exported.mlir_module()
 
 
 def save_artifact(path: str, blob: bytes):

@@ -26,3 +26,17 @@ def test_export_roundtrip(tmp_path, rng):
     ref = forward(params, jnp.asarray(img0), jnp.asarray(img1), cfg)
     np.testing.assert_allclose(np.asarray(disp), np.asarray(ref[0]), atol=1e-4)
     assert disp.shape == (1, h, w, 1)
+
+
+def test_stablehlo_mlir_bridge():
+    """The cross-backend MLIR module is emitted as valid StableHLO text
+    with the expected static-shape entry signature."""
+    from s2m2_tpu.tools.export import export_stablehlo_mlir
+
+    cfg = ModelConfig(feature_channels=16, num_transformer=1, refine_iter=1)
+    params = init_params(cfg, seed=0)
+    mlir = export_stablehlo_mlir(params, cfg, 32, 64,
+                                 compute_dtype=jnp.float32)
+    assert "stablehlo." in mlir          # real StableHLO ops
+    assert "tensor<1x32x64x3xf32>" in mlir   # static entry shape
+    assert "module @" in mlir

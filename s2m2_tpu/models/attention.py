@@ -47,10 +47,21 @@ def set_bf16_scores(enabled: bool):
     _BF16_SCORES = bool(enabled)
 
 
+def _score_dtype(compute_dtype):
+    """Storage dtype for the NxN score/prob matrices.
+
+    The MXU always accumulates dots in fp32 internally; asking the dot for
+    a bf16 result rounds that fp32 accumulator once — identical floats to
+    computing fp32 and casting, but XLA materializes no fp32 NxN buffer
+    (measured: standalone f32[2,8,1216,1216] buffers when the cast is a
+    separate op)."""
+    if _BF16_SCORES and compute_dtype != jnp.float32:
+        return jnp.bfloat16
+    return jnp.float32
+
+
 def _softmax_scores(score, out_dtype):
     """fp32-statistics softmax with configurable storage precision."""
-    if _BF16_SCORES and out_dtype != jnp.float32:
-        score = score.astype(jnp.bfloat16)
     attn = jax.nn.softmax(score.astype(jnp.float32), axis=-1)
     return attn.astype(out_dtype)
 
@@ -97,10 +108,10 @@ def sdpa(q, k, v):
         return out.reshape(b, h, n, d)
     scale = q.shape[-1] ** -0.5
     score = jnp.einsum("bhic,bhjc->bhij", q * scale, k,
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=_score_dtype(v.dtype))
     attn = _softmax_scores(score, v.dtype)
     return jnp.einsum("bhij,bhjc->bhic", attn, v,
-                      preferred_element_type=jnp.float32).astype(v.dtype)
+                      preferred_element_type=v.dtype)
 
 
 def self_attn(p, x, num_heads, pe=None):
@@ -121,10 +132,10 @@ def self_attn(p, x, num_heads, pe=None):
         ty, tx, h, w = pe
         scale = q.shape[-1] ** -0.5
         score = jnp.einsum("bhic,bhjc->bhij", q * scale, k,
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=_score_dtype(v.dtype))
         attn = _softmax_scores(score, v.dtype)
         out = jnp.einsum("bhij,bhjc->bhic", attn, v,
-                         preferred_element_type=jnp.float32).astype(v.dtype)
+                         preferred_element_type=v.dtype)
         pe_sum = pe_contract(attn, ty, tx, h, w).astype(v.dtype)
         out = out + layers.linear(p["pe_proj"], pe_sum)
     else:

@@ -15,11 +15,11 @@ from .attention import basic_attn_block, global_attn_block
 from .feature_fusion import feature_fusion
 from ..ops.fused_block import fused_basic_attn_block
 
-# Fused scanline block (ops/fused_block.py). Measured at XL shapes on v5e:
-# 31% faster standalone but parity in-context (the blocks are FLOP-bound on
-# the C=384 matmuls, not bandwidth-bound, so fusing HBM round-trips doesn't
-# pay) — default OFF, kept as a tested experimental path.
-_USE_FUSED_BLOCK = False
+# Fused scanline block (ops/fused_block.py). Toggle via S2M2_FUSED_BLOCK=1
+# or set_use_fused_block(True); see README perf notes for measurements.
+import os as _os
+
+_USE_FUSED_BLOCK = _os.environ.get("S2M2_FUSED_BLOCK", "0") == "1"
 _FUSED_MAX_C = 512
 
 

@@ -21,9 +21,13 @@ def render_calibration_comparison(engine, left, right, left_cal, right_cal,
     disp_b, occ_b, conf_b, score_b, _ = engine.run(left, right)
     disp_a, occ_a, conf_a, score_a, _ = engine.run(left_cal, right_cal)
 
+    def u8(img):
+        return np.clip(np.asarray(img), 0, 255).astype(np.uint8)
+
     rows = []
-    rows.append(draw_epipolar_lines(left, right, num_lines))
-    rows.append(draw_epipolar_lines(left_cal, right_cal, num_lines))
+    rows.append(u8(draw_epipolar_lines(u8(left), u8(right), num_lines)))
+    rows.append(u8(draw_epipolar_lines(u8(left_cal), u8(right_cal),
+                                       num_lines)))
     disp_row = np.hstack([apply_colormap(disp_b), apply_colormap(disp_a)])
     conf_row = np.hstack([
         np.repeat((np.clip(conf_b, 0, 1) * 255).astype(np.uint8)[..., None],

@@ -123,3 +123,21 @@ def test_keypoint_calibration_uniform_contract():
         # (planar pure-shift data is pose-degenerate, so the recovered
         # rotation itself isn't asserted here — accuracy is pinned by
         # test_keypoint_estimate_rotation_synthetic on exact 3D geometry)
+
+
+def test_render_calibration_comparison():
+    """Headless before/after panel: runs the engine twice, composes epipolar
+    overlays + disparity/confidence rows into one uint8 image."""
+    from s2m2_tpu.calibration.visualize import render_calibration_comparison
+    from s2m2_tpu.config import ModelConfig
+    from s2m2_tpu.runtime.engine import StereoEngine
+
+    rng = np.random.default_rng(3)
+    eng = StereoEngine(ModelConfig(feature_channels=16, num_transformer=1,
+                                   refine_iter=1), precision="fp32")
+    imgs = [rng.uniform(0, 255, (40, 64, 3)).astype(np.float32)
+            for _ in range(4)]
+    panel, sb, sa = render_calibration_comparison(eng, *imgs, num_lines=4)
+    assert panel.dtype == np.uint8 and panel.ndim == 3
+    assert panel.shape[1] >= 2 * 64  # side-by-side rows
+    assert np.isfinite(sb) and np.isfinite(sa)

@@ -69,3 +69,15 @@ def test_middlebury_demo(tmp_path, monkeypatch, tiny_engine_factory):
               ["--data_dir", d, "--model_type", "S", "--precision", "fp32",
                "--out", out], monkeypatch, tiny_engine_factory)
     assert os.path.exists(out)
+
+
+def test_2d_demo(tmp_path, monkeypatch, tiny_engine_factory):
+    """The main reference entry: real sample pair -> engine -> result panel."""
+    out = os.path.join(str(tmp_path), "result.png")
+    _run_demo("visualize_2d_simple.py",
+              ["--model_type", "S", "--precision", "fp32",
+               "--downscale", "8", "--n_repeat", "1", "--out", out],
+              monkeypatch, tiny_engine_factory)
+    assert os.path.exists(out)
+    img = cv2.imread(out)
+    assert img is not None and img.ndim == 3

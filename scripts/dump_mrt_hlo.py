@@ -71,12 +71,14 @@ def main():
             continue
         spec = m.group(1)
         b = nbytes(spec)
+        # op name: first identifier followed by '(' AFTER the result shape
+        # (layout annotations contain parens, so a naive split breaks)
         rhs = ls.split("=", 1)[1]
-        toks = rhs.split("(")[0].strip().split()
-        kind = toks[-1] if toks else "?"
+        km = re.search(r"\s([a-z][a-z0-9\-]*)\(", rhs)
+        kind = km.group(1) if km else "?"
         if kind == "fusion":
-            km = re.search(r"kind=(\w+)", ls)
-            kind = f"fusion:{km.group(1) if km else '?'}"
+            kf = re.search(r"kind=(\w+)", ls)
+            kind = f"fusion:{kf.group(1) if kf else '?'}"
         groups[(kind, spec.split("{")[0])] += b
         counts[(kind, spec.split("{")[0])] += 1
 

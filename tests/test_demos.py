@@ -81,3 +81,61 @@ def test_2d_demo(tmp_path, monkeypatch, tiny_engine_factory):
     assert os.path.exists(out)
     img = cv2.imread(out)
     assert img is not None and img.ndim == 3
+
+
+def test_export_and_artifact_benchmark_demos(tmp_path, monkeypatch):
+    """Export CLI writes a verified artifact; the raw-artifact benchmark
+    (TRT-analog) loads and times it — no engine/model source needed."""
+    import glob
+    import s2m2_tpu.models.init as init_mod
+    from s2m2_tpu.config import ModelConfig
+
+    # make the S config tiny so the CPU export is fast
+    tiny = ModelConfig(feature_channels=16, num_transformer=1, refine_iter=1)
+    import s2m2_tpu.config as config_mod
+    monkeypatch.setattr(config_mod, "get_config", lambda *a, **k: tiny)
+
+    out_dir = str(tmp_path / "artifacts")
+    _run_demo("export_stablehlo.py",
+              ["--model_type", "S", "--height", "32", "--width", "64",
+               "--precision", "fp32", "--out_dir", out_dir, "--verify"],
+              monkeypatch, None)
+    arts = glob.glob(os.path.join(out_dir, "*"))
+    assert len(arts) == 1, arts
+
+    monkeypatch.setattr(sys, "argv",
+                        ["artifact_benchmark.py", arts[0], "--iters", "2"])
+    with pytest.raises(SystemExit) as exc:
+        runpy.run_path(os.path.join(REPO, "demo", "artifact_benchmark.py"),
+                       run_name="__main__")
+    assert exc.value.code == 0
+
+
+def test_train_demo(tmp_path, monkeypatch):
+    """Training CLI: a few synthetic steps with checkpointing."""
+    monkeypatch.setattr(sys, "argv",
+                        ["train_demo.py", "--steps", "2", "--batch", "1",
+                         "--height", "64", "--width", "96",
+                         "--checkpoint_dir", str(tmp_path / "ckpt")])
+    runpy.run_path(os.path.join(REPO, "demo", "train_demo.py"),
+                   run_name="__main__")
+    assert os.path.isdir(str(tmp_path / "ckpt"))
+
+
+def test_online_calibration_demo_kp(tmp_path, monkeypatch):
+    """Online-calibration CLI via the model-free keypoint method."""
+    rng = np.random.default_rng(2)
+    tex = cv2.GaussianBlur(
+        rng.integers(0, 255, (200, 280, 3), dtype=np.uint8), (0, 0), 1.2)
+    lp, rp = str(tmp_path / "l.png"), str(tmp_path / "r.png")
+    cv2.imwrite(lp, tex)
+    cv2.imwrite(rp, np.roll(tex, -5, axis=1))
+    calib_xml = "/root/reference/data/calib/1_01_camera_param_head.xml"
+    if not os.path.exists(calib_xml):
+        pytest.skip("reference calib xml unavailable")
+    monkeypatch.setattr(sys, "argv",
+                        ["online_calibration.py", "--method", "kp",
+                         "--left_path", lp, "--right_path", rp,
+                         "--calib_xml", calib_xml])
+    runpy.run_path(os.path.join(REPO, "demo", "online_calibration.py"),
+                   run_name="__main__")

@@ -148,9 +148,10 @@ def cross_attn_packed(p, xy, b0, num_heads):
     (left|right) batch (reference: attentions.py:57-96).
 
     The two views share Q/K/V weights, so every projection runs ONCE on the
-    packed views, and the x<->y key/value swap is a half-batch roll — no
-    slice+concat round trips anywhere (the round-1 HLO showed GBs of pure
-    `copy` ops from per-view splits). xy: (2*b0, N, C), left half first.
+    packed views; the x<->y swap is expressed as contiguous half-batch
+    slices feeding the two attention calls (free — unlike the entry
+    concat+slice round trips of a per-view API, or a jnp.roll of k/v which
+    measured +24 ms on XL). xy: (2*b0, N, C), left half first.
     """
     q = _split_heads(layers.linear(p["q"], xy), num_heads)
     k = _split_heads(layers.linear(p["k"], xy), num_heads)

@@ -35,3 +35,31 @@ def test_train_loss_decreases(tmp_path):
     assert history[-1]["loss"] < history[0]["loss"]
     from s2m2_tpu.tools.checkpoint import latest_step
     assert latest_step(str(tmp_path / "ckpt")) == 8
+
+
+def test_sharded_train_step_ntr2():
+    """One sharded train step at NTR=2 (per-repeat MRT params + n_attn=4
+    pyramid) over the ('data','band') mesh — the stacked-repeat path the
+    base training tests never exercise."""
+    import jax
+    import optax
+
+    from s2m2_tpu.models.init import init_params
+    from s2m2_tpu.parallel.mesh import image_sharding, make_mesh, replicated
+    from s2m2_tpu.train.step import make_train_step
+
+    cfg = ModelConfig(feature_channels=16, num_transformer=2, refine_iter=1)
+    mesh = make_mesh(n_data=2, n_band=4)
+    step, init_opt = make_train_step(cfg, optax.adamw(1e-4), mesh=mesh,
+                                     image_sharding=image_sharding(mesh),
+                                     replicated=replicated(mesh))
+    params = jax.device_put(init_params(cfg, seed=0), replicated(mesh))
+    opt_state = init_opt(params)
+    batch = next(iter(synthetic_stereo_batches(batch=2, height=64, width=96,
+                                               max_disp=12, n_batches=1,
+                                               seed=2)))
+    import jax.numpy as jnp
+    batch = {k: jax.device_put(jnp.asarray(v), image_sharding(mesh))
+             for k, v in batch.items()}
+    params, opt_state, metrics = step(params, opt_state, batch)
+    assert np.isfinite(float(metrics["loss"]))

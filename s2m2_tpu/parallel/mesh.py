@@ -40,8 +40,3 @@ def image_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
-
-
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Per-sample leaves whose leading axis is the batch."""
-    return NamedSharding(mesh, P("data", "band", None, None))

@@ -158,7 +158,7 @@ def cross_attn_packed(p, xy, b0, num_heads):
     v = _split_heads(layers.linear(p["v"], xy), num_heads)
     b, h, n, d = q.shape
     if _pallas_ok(n, "cross"):
-        fold = lambda t: t.reshape(b * h, n, d)
+        fold = lambda t: t.reshape(-1, n, d)  # (b0, h, n, d) -> (b0*h, n, d)
         ox, oy = _fa.scanline_cross_attention(
             fold(q[:b0]), fold(k[:b0]), fold(v[:b0]),
             fold(q[b0:]), fold(k[b0:]), fold(v[b0:]))

@@ -52,3 +52,32 @@ def test_bf16_path(rng):
                                    np.asarray(ref, np.float32), atol=2e-2)
     finally:
         set_use_pallas(None)
+
+
+def test_cross_attn_packed_pallas_dispatch_multihead(monkeypatch):
+    """The module-level Pallas dispatch path (cross_attn_packed) must fold
+    per-view (b0, h, n, d) tensors correctly at num_heads > 1 — regression
+    for a reshape that used the full packed batch size."""
+    import functools
+    import unittest.mock as um
+
+    import s2m2_tpu.models.attention as A
+    from s2m2_tpu.ops import flash_attention as fa
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((4, 16, 8)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((4, 16, 8)), jnp.float32)
+    r = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.1, jnp.float32)
+    p = {"q": {"weight": r(8, 8)}, "k": {"weight": r(8, 8)},
+         "v": {"weight": r(8, 8), "bias": jnp.zeros(8)},
+         "proj": {"weight": r(8, 8)}}
+    ref = A.cross_attn(p, x, y, 2)
+
+    monkeypatch.setattr(A, "_USE_PALLAS_CROSS", True)
+    fake = um.MagicMock(scanline_cross_attention=functools.partial(
+        fa.scanline_cross_attention, interpret=True))
+    monkeypatch.setattr(A, "_fa", fake)
+    monkeypatch.setattr(A.jax, "default_backend", lambda: "tpu")
+    got = A.cross_attn(p, x, y, 2)
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

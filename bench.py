@@ -23,7 +23,8 @@ def main():
     ap.add_argument("--width", type=int, default=1216)
     ap.add_argument("--height", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=5)
-    ap.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
+    ap.add_argument("--precision", default="bf16",
+                    choices=["bf16", "fp32", "int8"])
     ap.add_argument("--batch", type=int, default=1)
     args = ap.parse_args()
 

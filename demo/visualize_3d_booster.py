@@ -26,7 +26,7 @@ def main():
     ap.add_argument("--model_type", default="XL", choices=["S", "M", "L", "XL"])
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--num_refine", type=int, default=3)
-    ap.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
+    ap.add_argument("--precision", default="bf16", choices=["bf16", "fp32", "int8"])
     ap.add_argument("--out", default="booster_cloud.ply")
     ap.add_argument("--show", action="store_true")
     args = ap.parse_args()

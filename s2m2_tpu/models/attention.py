@@ -100,7 +100,14 @@ def sdpa(q, k, v):
     """Scaled dot-product attention, fp32 softmax, (B, heads, N, D) layout.
 
     Dispatches to the Pallas row-attention kernel on TPU (f32 scores stay in
-    VMEM); otherwise the reference XLA einsum path."""
+    VMEM); otherwise the reference XLA einsum path. Inside an int8 quant
+    context the QK^T/PV matmuls run on the int8 MXU path with int8
+    score/prob storage (models/quant.py::sdpa_maybe_quantized)."""
+    from . import quant as _q
+    if _q.active():
+        out = _q.sdpa_maybe_quantized(q, k, v)
+        if out is not None:
+            return out
     b, h, n, d = q.shape
     if _pallas_ok(n, "self"):
         fold = lambda x: x.reshape(b * h, n, d)
@@ -197,13 +204,12 @@ def cross_attn_block_1d(p, z, num_heads):
     half on the batch axis (reference: 131-161).
 
     Folding (2B, H, W, C) -> (2B*H, W, C) keeps the left view's rows in the
-    first half of the folded batch, so the view split happens once, after the
-    shared Q/K/V projections inside cross_attn."""
+    first half of the folded batch, so the already-packed fold feeds
+    cross_attn_packed directly (no intermediate slice/concat round trip)."""
     b2, h, w, c = z.shape
     zf = layers.layer_norm(z).reshape(b2 * h, w, c)
-    x, y = cross_attn(p["attn"], zf[:b2 * h // 2], zf[b2 * h // 2:], num_heads)
-    out = jnp.concatenate([x, y], axis=0).reshape(b2, h, w, c)
-    return out + z
+    out = cross_attn_packed(p["attn"], zf, b2 * h // 2, num_heads)
+    return out.reshape(b2, h, w, c) + z
 
 
 def self_attn_block_2d(p, z, num_heads, pe=None):
@@ -219,9 +225,8 @@ def cross_attn_block_2d(p, z, num_heads):
     """Global 2D cross-view attention (reference: 197-226)."""
     b2, h, w, c = z.shape
     zf = layers.layer_norm(z).reshape(b2, h * w, c)
-    x, y = cross_attn(p["attn"], zf[:b2 // 2], zf[b2 // 2:], num_heads)
-    out = jnp.concatenate([x, y], axis=0).reshape(b2, h, w, c)
-    return out + z
+    out = cross_attn_packed(p["attn"], zf, b2 // 2, num_heads)
+    return out.reshape(b2, h, w, c) + z
 
 
 def ffn(p, z):

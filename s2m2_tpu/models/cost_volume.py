@@ -16,27 +16,10 @@ import jax
 import jax.numpy as jnp
 
 
-def _interp1d_lastaxis(vol, pos):
-    """Linear interpolation of vol (..., W2) at positions pos (..., T) with
-    zeros out-of-range (grid_sample zero-padding semantics: each neighbor tap
-    is zeroed independently when it falls outside [0, W2-1])."""
-    w2 = vol.shape[-1]
-    pos = pos.astype(jnp.float32)
-    x0 = jnp.floor(pos)
-    a = (pos - x0).astype(vol.dtype)
-    i0 = x0.astype(jnp.int32)
-    i1 = i0 + 1
-    in0 = (i0 >= 0) & (i0 <= w2 - 1)
-    in1 = (i1 >= 0) & (i1 <= w2 - 1)
-    g0 = jnp.take_along_axis(vol, jnp.clip(i0, 0, w2 - 1), axis=-1)
-    g1 = jnp.take_along_axis(vol, jnp.clip(i1, 0, w2 - 1), axis=-1)
-    g0 = jnp.where(in0, g0, jnp.zeros((), vol.dtype))
-    g1 = jnp.where(in1, g1, jnp.zeros((), vol.dtype))
-    return g0 * (1 - a) + g1 * a
-
-
 def _interp1d_hat(vol, pos):
-    """Gather-free equivalent of _interp1d_lastaxis for TPU.
+    """Gather-free 1D linear interpolation of vol (..., W2) at positions pos
+    (..., T) with zeros out-of-range (grid_sample zero-padding semantics:
+    each neighbor tap is zeroed independently outside [0, W2-1]).
 
     Linear interpolation with zero padding is exactly a hat-kernel weighted
     reduction:  out[.., t] = sum_j vol[.., j] * max(0, 1 - |pos_t - j|)

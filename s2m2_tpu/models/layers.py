@@ -19,7 +19,23 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from . import quant
+
 _CONV_DN = ("NHWC", "HWIO", "NHWC")
+
+# Express 1x1 stride-1 convs as token dots (channel contraction). Every conv
+# INSIDE the MRT is 1x1, so this makes the whole transformer dot-shaped and
+# lets XLA assign one consistent (dot-tiled) layout through it instead of
+# flip-flopping between conv-tiled and dot-tiled buffers at attention
+# boundaries (the 8.6 GB of layout-copy HLO in the round-2 MRT census).
+# Env-gated until measured on the target chip: S2M2_DOT_1X1=1 to enable.
+import os as _os
+_DOT_1X1 = _os.environ.get("S2M2_DOT_1X1", "0") == "1"
+
+
+def set_dot_1x1(enabled: bool):
+    global _DOT_1X1
+    _DOT_1X1 = bool(enabled)
 
 
 def gelu(x):
@@ -46,9 +62,20 @@ def conv2d(p, x, stride=1, padding=None):
     else:
         pad = [tuple(padding[0]), tuple(padding[1])]
     s = (stride, stride) if isinstance(stride, int) else tuple(stride)
-    y = lax.conv_general_dilated(
-        x, w.astype(x.dtype), window_strides=s, padding=pad,
-        dimension_numbers=_CONV_DN)
+    if quant.active():
+        acc = quant.conv2d_maybe_quantized(x, w, s, pad, _CONV_DN)
+        if acc is not None:
+            if "bias" in p and p["bias"] is not None:
+                acc = acc + p["bias"].astype(jnp.float32)
+            return acc.astype(x.dtype)
+    if (_DOT_1X1 and kh == 1 and kw == 1 and s == (1, 1)
+            and pad == [(0, 0), (0, 0)]):
+        y = jnp.einsum("bhwc,co->bhwo", x, w[0, 0].astype(x.dtype),
+                       preferred_element_type=x.dtype)
+    else:
+        y = lax.conv_general_dilated(
+            x, w.astype(x.dtype), window_strides=s, padding=pad,
+            dimension_numbers=_CONV_DN)
     if "bias" in p and p["bias"] is not None:
         y = y + p["bias"].astype(y.dtype)
     return y
@@ -78,6 +105,12 @@ def conv_transpose2d(p, x, stride=1, padding=0):
 
 def linear(p, x):
     """Dense layer on the trailing axis. Weight layout (in, out)."""
+    if quant.active():
+        acc = quant.linear_maybe_quantized(x, p["weight"])
+        if acc is not None:
+            if "bias" in p and p["bias"] is not None:
+                acc = acc + p["bias"].astype(jnp.float32)
+            return acc.astype(x.dtype)
     y = jnp.einsum("...i,io->...o", x, p["weight"].astype(x.dtype))
     if "bias" in p and p["bias"] is not None:
         y = y + p["bias"].astype(y.dtype)

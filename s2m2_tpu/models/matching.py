@@ -98,5 +98,8 @@ def disp_init(p, feature, *, ot_iter=3, use_positivity=True, window=2):
         corr = corr + weight * (ind + idx - window).astype(jnp.float32)
     eps = 1e-4
     corr = (corr + eps) / (conf + eps)
-    disparity = (x_grid.reshape(1, 1, w, 1) - corr).astype(dtype)
-    return disparity, conf.astype(dtype), masked_prob.sum(axis=3, keepdims=True).astype(dtype), cv
+    disparity = x_grid.reshape(1, 1, w, 1) - corr
+    # disp/conf/occ stay fp32: the 1-channel state is carried in fp32 through
+    # the whole refinement chain (see refiners.py precision note)
+    occ = masked_prob.astype(jnp.float32).sum(axis=3, keepdims=True)
+    return disparity, conf, occ, cv

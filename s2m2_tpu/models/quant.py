@@ -1,0 +1,224 @@
+"""Static-scale int8 quantization for the MXU's reduced-precision path.
+
+Why: on a v5e the bf16 compute roofline for XL@1216x1024 (32.1 TFLOP/frame at
+197 TFLOP/s) already exceeds the 156 ms the 6.4 FPS baseline target demands —
+bf16 parity is arithmetically impossible on one chip. The int8 MXU path
+(~2x bf16 peak; measured 1.7x on 3x3 convs incl. quantize/dequant,
+scripts/probe_int8.py) is the only single-chip route, and int8 activations
+also halve inter-layer HBM traffic. This mirrors the reference's own
+reduced-precision deployment move (its TensorRT fp16 engine,
+reference: demo/export_tensorrt.py:26-34) one step further, exactly the way a
+TRT int8 engine would: per-(output-)channel weight scales + per-tensor STATIC
+activation scales collected by a calibration pass, so the quantize op is a
+pure elementwise producer that XLA fuses into the previous layer's epilogue
+(dynamic per-call max-abs scales measured slower at token shapes — the extra
+reduction pass breaks fusion; probe_int8.py).
+
+Mechanics — site-ordered scales:
+  * Every quantizable GEMM (conv2d / linear) input is a "site". Both the
+    calibration trace and the quantized trace walk the forward in the same
+    deterministic order, so sites are identified by trace order alone — no
+    parameter-tree surgery, converted checkpoints stay byte-identical.
+  * `observe()`: layers append the fp32 max|x| of each site to the context;
+    the jitted observer returns them stacked. Calibrating over several
+    frames = elementwise max of the per-frame vectors.
+  * `quantized(scales)`: layers consume scales (python floats -> XLA scalar
+    constants) in the same order and run
+      x_q = clip(round(x / s_x), -127, 127) : int8
+      acc = conv/dot(x_q, w_q) : int32      (MXU int8 path)
+      y   = acc * (s_x * s_w[c_out]) + bias
+    with weights quantized per output channel inside the jit (negligible:
+    one elementwise pass over 406M params vs 200+ GB of activation traffic).
+
+fp32 islands are untouched: norm statistics, softmax, Sinkhorn, logits and
+the 1-channel disp/conf/occ state never pass through a quantized GEMM.
+Low-precision-critical heads (cout < 8, e.g. the disparity update head) are
+excluded by `_quantizable`.
+"""
+from __future__ import annotations
+
+import contextlib
+import threading
+
+import jax.numpy as jnp
+from jax import lax
+
+_state = threading.local()
+
+
+def _ctx():
+    if not hasattr(_state, "mode"):
+        _state.mode = None  # None | 'observe' | 'quantize'
+        _state.scales = None
+        _state.cursor = 0
+        _state.observed = None
+    return _state
+
+
+def active() -> bool:
+    return _ctx().mode is not None
+
+
+@contextlib.contextmanager
+def observe():
+    """Collect per-site amax tracers during a forward trace.
+
+    Yields the list the layers append to; jit the wrapped forward so it
+    returns `jnp.stack(collected)` alongside its outputs.
+    """
+    s = _ctx()
+    prev = (s.mode, s.observed)
+    s.mode, s.observed = "observe", []
+    try:
+        yield s.observed
+    finally:
+        s.mode, s.observed = prev
+
+
+@contextlib.contextmanager
+def quantized(scales):
+    """Run a forward with static per-site activation scales (trace-order
+    matched to the `observe()` pass that produced them)."""
+    s = _ctx()
+    prev = (s.mode, s.scales, s.cursor)
+    s.mode, s.scales, s.cursor = "quantize", [float(v) for v in scales], 0
+    try:
+        yield
+        if s.cursor != len(s.scales):
+            raise ValueError(
+                f"quantized(): consumed {s.cursor} scales but calibration "
+                f"recorded {len(s.scales)} sites — forward paths diverged")
+    finally:
+        s.mode, s.scales, s.cursor = prev
+
+
+def dot_1x1() -> bool:
+    """Mirror layers._DOT_1X1 (set after import; read lazily)."""
+    from . import layers
+    return layers._DOT_1X1
+
+
+def _quantizable(w_shape_in, cout) -> bool:
+    """Quantize only GEMMs with enough input reduction depth to average out
+    quantization noise and wide-enough outputs that per-channel weight scales
+    don't gate a precision-critical scalar head."""
+    return w_shape_in >= 16 and cout >= 8
+
+
+def _record_amax(x):
+    s = _ctx()
+    s.observed.append(jnp.max(jnp.abs(x.astype(jnp.float32))))
+
+
+def _next_scale():
+    s = _ctx()
+    if s.cursor >= len(s.scales):
+        raise ValueError(
+            "quantized(): forward hit more GEMM sites than calibration "
+            "recorded — forward paths diverged")
+    v = s.scales[s.cursor]
+    s.cursor += 1
+    return max(v, 1e-8)
+
+
+def _quantize_input(x, s_x):
+    inv = jnp.float32(1.0 / s_x)
+    return jnp.clip(jnp.round(x.astype(jnp.float32) * inv),
+                    -127.0, 127.0).astype(jnp.int8)
+
+
+def _quantize_weight(w, reduce_axes):
+    """Per-output-channel symmetric int8: returns (w_q, s_w)."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=reduce_axes, keepdims=True)
+    s_w = jnp.maximum(amax / 127.0, 1e-12)
+    w_q = jnp.clip(jnp.round(wf / s_w), -127.0, 127.0).astype(jnp.int8)
+    return w_q, s_w
+
+
+def conv2d_maybe_quantized(x, w, strides, padding, dn):
+    """int8 conv path when a quant context is active and the site qualifies;
+    returns the accumulator in fp32 (bias/cast handled by the caller), or
+    None to tell the caller to take the normal bf16/fp32 path."""
+    s = _ctx()
+    kh, kw, cin, cout = w.shape
+    if s.mode is None or not _quantizable(kh * kw * cin, cout):
+        return None
+    if s.mode == "observe":
+        _record_amax(x)
+        return None
+    s_x = _next_scale()
+    x_q = _quantize_input(x, s_x)
+    w_q, s_w = _quantize_weight(w, (0, 1, 2))  # -> s_w (1,1,1,O)
+    if kh == kw == 1 and strides == (1, 1) and dot_1x1():
+        acc = jnp.einsum("bhwc,co->bhwo", x_q, w_q[0, 0],
+                         preferred_element_type=jnp.int32)
+    else:
+        acc = lax.conv_general_dilated(
+            x_q, w_q, window_strides=strides, padding=padding,
+            dimension_numbers=dn, preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (s_w.reshape(1, 1, 1, -1) * s_x)
+
+
+_INT8_ATTN = __import__("os").environ.get("S2M2_INT8_ATTN", "1") == "1"
+
+
+def set_int8_attn(enabled: bool):
+    """Quantized attention internals (QK^T and PV on the int8 MXU, int8
+    score/prob storage). Only engages inside a quant context; the flag
+    must not change between calibration and inference (site count)."""
+    global _INT8_ATTN
+    _INT8_ATTN = bool(enabled)
+
+
+def sdpa_maybe_quantized(q, k, v):
+    """int8 attention core for (B, heads, N, D) tensors.
+
+    q/k/v get static calibrated per-tensor scales (3 sites); the softmax
+    runs fp32 (island) and its probabilities are re-quantized with a
+    PER-ROW dynamic scale pmax/127 (exact range — probabilities are [0,1]
+    and each row's max is already computed by the softmax pass, so this
+    costs no extra HBM sweep). Returns None outside quantize mode.
+    """
+    import jax
+
+    s = _ctx()
+    if s.mode is None or not _INT8_ATTN:
+        return None
+    if s.mode == "observe":
+        _record_amax(q)
+        _record_amax(k)
+        _record_amax(v)
+        return None
+    d = q.shape[-1]
+    s_q, s_k, s_v = _next_scale(), _next_scale(), _next_scale()
+    q_q = _quantize_input(q, s_q)
+    k_q = _quantize_input(k, s_k)
+    v_q = _quantize_input(v, s_v)
+    acc = jnp.einsum("bhic,bhjc->bhij", q_q, k_q,
+                     preferred_element_type=jnp.int32)
+    score = acc.astype(jnp.float32) * (s_q * s_k * float(d) ** -0.5)
+    attn = jax.nn.softmax(score, axis=-1)  # fp32 island
+    pmax = jnp.max(attn, axis=-1, keepdims=True)  # > 0 (rows sum to 1)
+    p_q = jnp.round(attn * (127.0 / pmax)).astype(jnp.int8)
+    out = jnp.einsum("bhij,bhjc->bhic", p_q, v_q,
+                     preferred_element_type=jnp.int32)
+    return (out.astype(jnp.float32) * (pmax * (s_v / 127.0))).astype(v.dtype)
+
+
+def linear_maybe_quantized(x, w):
+    """int8 dense path on the trailing axis; same contract as the conv
+    variant. w: (in, out)."""
+    s = _ctx()
+    cin, cout = w.shape
+    if s.mode is None or not _quantizable(cin, cout):
+        return None
+    if s.mode == "observe":
+        _record_amax(x)
+        return None
+    s_x = _next_scale()
+    x_q = _quantize_input(x, s_x)
+    w_q, s_w = _quantize_weight(w, (0,))  # -> s_w (1, out)
+    acc = jnp.einsum("...i,io->...o", x_q, w_q,
+                     preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (s_w.reshape(1, -1)[0] * s_x)

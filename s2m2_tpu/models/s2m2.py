@@ -30,8 +30,15 @@ def normalize_img(img):
     return (img / 255.0 - 0.5) * 2.0
 
 
-def forward(params, img0, img1, cfg: ModelConfig):
-    """img0/img1: (B, H, W, 3) in [0,255], H%32 == W%32 == 0."""
+def forward(params, img0, img1, cfg: ModelConfig, return_aux: bool = False):
+    """img0/img1: (B, H, W, 3) in [0,255], H%32 == W%32 == 0.
+
+    return_aux=True (training only) additionally returns an aux dict with
+    the per-refine-iteration disparity sequence at 1/4 resolution
+    ('disp_seq', each (B, H/4, W/4, 1), in FULL-RES pixel units i.e. x4, OT
+    init first) for RAFT-style exponentially-weighted sequence supervision
+    (train/loss.py::sequence_loss) — the standard recipe for ConvGRU
+    refiners; the reference ships no training code (README.md:38)."""
     img0_nor = normalize_img(img0)
     img1_nor = normalize_img(img1)
 
@@ -74,6 +81,7 @@ def forward(params, img0, img1, cfg: ModelConfig):
     cv_state = make_cost_volume(cv, radius=cfg.radius)
     coords_4x = jnp.arange(w4, dtype=jnp.float32).reshape(1, 1, w4, 1)
 
+    disp_seq = [disp * 4]  # global-refined init, full-res px units
     for _ in range(cfg.refine_iter):
         hidden, disp, conf, occ = local_refiner(
             params["refiner"], hidden, ctx0, disp, conf, occ, cv_state)
@@ -82,6 +90,7 @@ def forward(params, img0, img1, cfg: ModelConfig):
         # geometric occlusion mask: matched coordinate must stay on-image
         occ_mask = (coords_4x - disp) >= 0
         occ = occ * occ_mask
+        disp_seq.append(disp * 4)
 
     # 4x convex upsampling — mask heads and the convex combination run at
     # half res in the phase-major packed layout (see upsampling.py docstring)
@@ -89,9 +98,11 @@ def forward(params, img0, img1, cfg: ModelConfig):
         params["upsample_mask_4x_refine"], hidden, feature0_2x)
     ups = upsample4x_packed([disp * 4, occ, conf], mask_p)  # (B,Hp,Wp,4,3)
 
-    # edge-guided 1x sharpening
+    # edge-guided 1x sharpening (the mask head runs in the compute dtype;
+    # the disp/occ/conf maps themselves stay fp32 through the combination)
     filter_p = upsample_mask_1x_packed(
-        params["upsample_mask_1x"], ups[..., 0], img0_nor, feature0_2x)
+        params["upsample_mask_1x"], ups[..., 0].astype(img0_nor.dtype),
+        img0_nor, feature0_2x)
     b, hp, wp = ups.shape[:3]
     full = depth_to_space(ups.reshape(b, hp, wp, 12))       # (B,H,W,3)
     filt = depth_to_space(filter_p.reshape(b, hp, wp, 36))  # (B,H,W,9)
@@ -105,4 +116,6 @@ def forward(params, img0, img1, cfg: ModelConfig):
         occ_up = out[..., 1:2]
         conf_up = out[..., 2:3]
 
+    if return_aux:
+        return disp_up, occ_up, conf_up, {"disp_seq": disp_seq}
     return disp_up, occ_up, conf_up

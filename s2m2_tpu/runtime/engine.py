@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ModelConfig, Precision, get_config
+from ..models import quant
 from ..models.init import init_params
 from ..models.s2m2 import forward
 from ..tools.convert_checkpoint import flatten, load_npz, nest
@@ -46,11 +47,15 @@ class StereoEngine:
             self.cfg = get_config(model_type_or_cfg,
                                   use_positivity=use_positivity,
                                   refine_iter=refine_iter)
+        self.quantize = precision == "int8"
         if isinstance(precision, str):
-            precision = (Precision.bf16() if precision == "bf16"
+            # int8 = bf16 engine whose qualifying GEMMs run on the int8 MXU
+            # path with calibrated static scales (models/quant.py)
+            precision = (Precision.bf16() if precision in ("bf16", "int8")
                          else Precision.fp32())
         self.precision = precision
         self.compute_dtype = precision.compute_dtype
+        self.quant_scales = None  # set by calibrate()
         if checkpoint:
             params = self._tolerant_load(checkpoint, seed)
         else:
@@ -87,14 +92,66 @@ class StereoEngine:
                   f"(kept initialized)")
         return nest(merged)
 
+    def _quant_wrap(self, fwd):
+        """Wrap a forward so qualifying GEMMs trace onto the int8 MXU path
+        with this engine's calibrated scales (no-op for bf16/fp32)."""
+        if not self.quantize:
+            return fwd
+        if self.quant_scales is None:
+            raise RuntimeError("int8 engine is not calibrated — call "
+                               "calibrate() (run()/benchmark() do it "
+                               "automatically on their first input)")
+        scales = tuple(float(s) for s in self.quant_scales)
+
+        def fwd_q(*args):
+            with quant.quantized(scales):
+                return fwd(*args)
+
+        return fwd_q
+
+    def calibrate(self, img0, img1, n_frames=None):
+        """Record per-site activation amax on (already padded) input frames
+        and derive the static int8 scales. Scales are per-site scalars and
+        essentially resolution-independent, so calibrating at a reduced
+        resolution is fine (and avoids a second full-size remote compile).
+        """
+        cfg = self.cfg
+
+        def observer(params, a, b):
+            with quant.observe() as obs:
+                out = forward(params, a, b, cfg)
+            return out, jnp.stack(obs)
+
+        jf = jax.jit(observer)
+        _, amax = jf(self.params,
+                     jnp.asarray(img0, self.compute_dtype),
+                     jnp.asarray(img1, self.compute_dtype))
+        amax = np.asarray(amax, np.float32)
+        if self.quant_scales is not None:  # accumulate over calls
+            amax = np.maximum(amax, self.quant_scales * 127.0)
+        self.quant_scales = amax / 127.0
+        self.__dict__.pop("_jitted", None)  # rebuild with the new scales
+        return self.quant_scales
+
+    def _auto_calibrate(self, img0, img1, max_hw=512):
+        """Calibrate on a (possibly downscaled) copy of the given frames."""
+        a = np.asarray(img0, np.float32)
+        b = np.asarray(img1, np.float32)
+        sh, sw = a.shape[1:3]
+        step = max(1, int(np.ceil(max(sh, sw) / max_hw)))
+        a, b = a[:, ::step, ::step], b[:, ::step, ::step]
+        self.calibrate(image_pad(a), image_pad(b))
+
     @functools.cached_property
     def _jitted(self):
         cfg = self.cfg
 
-        def fwd(params, img0, img1):
+        def base(params, img0, img1):
             disp, occ, conf = forward(params, img0, img1, cfg)
             return (disp.astype(jnp.float32), occ.astype(jnp.float32),
                     conf.astype(jnp.float32))
+
+        fwd = self._quant_wrap(base)
 
         if self.mesh is not None and self.in_shardings is not None:
             return jax.jit(
@@ -107,6 +164,8 @@ class StereoEngine:
 
     def forward_padded(self, img0, img1):
         """Jitted forward on already padded (B,H,W,3) arrays."""
+        if self.quantize and self.quant_scales is None:
+            self._auto_calibrate(img0, img1)
         return self._jitted(self.params,
                             jnp.asarray(img0, self.compute_dtype),
                             jnp.asarray(img1, self.compute_dtype))
@@ -144,8 +203,8 @@ class StereoEngine:
 
             a = jnp.asarray(lp, self.compute_dtype)
             b = jnp.asarray(rp, self.compute_dtype)
-            runtime_ms = chained_timer(fwd, self.params, a, b,
-                                       n_iter=n_repeat, n_warmup=1,
+            runtime_ms = chained_timer(self._quant_wrap(fwd), self.params,
+                                       a, b, n_iter=n_repeat, n_warmup=1,
                                        perturb_arg=1) * 1e3
         else:
             t0 = time.perf_counter()
@@ -190,7 +249,10 @@ class StereoEngine:
                         self.compute_dtype)
         b = jnp.asarray(rng.uniform(0, 255, (batch, height, width, 3)),
                         self.compute_dtype)
-        dt = chained_timer(fwd, self.params, a, b, n_iter=n_iter,
-                           n_warmup=n_warmup, perturb_arg=1)
+        if self.quantize and self.quant_scales is None:
+            self._auto_calibrate(np.asarray(a, np.float32),
+                                 np.asarray(b, np.float32))
+        dt = chained_timer(self._quant_wrap(fwd), self.params, a, b,
+                           n_iter=n_iter, n_warmup=n_warmup, perturb_arg=1)
         return dict(seconds_per_frame=dt / batch, fps=batch / dt,
                     height=height, width=width, batch=batch)

@@ -32,6 +32,9 @@ def chained_timer(fn, *args, n_iter=10, n_warmup=1, perturb_arg=0):
 
     Returns seconds per call.
     """
+    # n_warmup=0 would put the first-execution compile (~12 min remote on
+    # axon) inside the timed loop — never meaningful; clamp.
+    n_warmup = max(1, n_warmup)
 
     def step(s, *a):
         eps = s * 1e-12

@@ -57,6 +57,11 @@ def export_stablehlo_mlir(params, cfg: ModelConfig, height: int, width: int,
     This is the cross-backend bridge (see module docstring): any StableHLO
     consumer — IREE, TF XlaCallModule, PJRT backends — can compile this
     module without JAX or the model source.
+
+    Size limitation: parameters are embedded as inline constants in TEXTUAL
+    MLIR — fine for S (and the artifact tests), multi-GB of text at XL.
+    For large variants use export_forward_with_weights (weight-free module +
+    a .npz checkpoint) instead.
     """
     params = jax.tree.map(lambda x: x.astype(compute_dtype), params)
 
@@ -69,6 +74,35 @@ def export_stablehlo_mlir(params, cfg: ModelConfig, height: int, width: int,
     spec = jax.ShapeDtypeStruct((batch, height, width, 3), jnp.float32)
     exported = jax_export.export(jax.jit(fn))(spec, spec)
     return exported.mlir_module()
+
+
+def export_forward_with_weights(cfg: ModelConfig, height: int, width: int,
+                                batch: int = 1,
+                                compute_dtype=jnp.bfloat16):
+    """Weights-as-ARGUMENTS export: the artifact takes (params, img0, img1).
+
+    The constant-embedded exports above are self-contained (the TRT-engine
+    analog) but bake the parameter tree into the module — at XL that is
+    812 MB of bf16 constants, which exceeds the axon remote-compile request
+    limit (HTTP 413, CLAUDE.md) and bloats the artifact. This variant keeps
+    the module weight-free (a few MB even at XL — only program text), the
+    same way the engine passes params as jit arguments; pair the artifact
+    with a converted .npz checkpoint at load time. Returns bytes.
+    """
+    def fn(params, img0, img1):
+        params = jax.tree.map(lambda x: x.astype(compute_dtype), params)
+        disp, occ, conf = forward(params, img0.astype(compute_dtype),
+                                  img1.astype(compute_dtype), cfg)
+        return (disp.astype(jnp.float32), occ.astype(jnp.float32),
+                conf.astype(jnp.float32))
+
+    from ..models.init import init_params
+    p_spec = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, compute_dtype),
+        jax.eval_shape(lambda: init_params(cfg, seed=0)))
+    spec = jax.ShapeDtypeStruct((batch, height, width, 3), jnp.float32)
+    exported = jax_export.export(jax.jit(fn))(p_spec, spec, spec)
+    return exported.serialize()
 
 
 def save_artifact(path: str, blob: bytes):

@@ -45,3 +45,39 @@ def stereo_loss(disp, occ, conf, gt_disp, valid, gt_nonocc=None,
         metrics["loss_occ"] = l_occ
     metrics["loss"] = total
     return total, metrics
+
+
+def _downsample4(x):
+    """(B, H, W, 1) -> (B, H/4, W/4, 1) average pool (GT to 1/4 grid)."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h // 4, 4, w // 4, 4, c).mean(axis=(2, 4))
+
+
+def sequence_loss(disp_seq, disp_final, occ, conf, gt_disp, valid,
+                  gt_nonocc=None, gamma=0.8, **kw):
+    """RAFT-style exponentially-weighted sequence supervision
+    (Teed & Deng, RAFT, ECCV 2020 — the standard recipe for ConvGRU
+    iterative refiners; the reference ships no training code).
+
+    disp_seq: per-refine-iteration quarter-res disparities in full-res px
+    units (forward(..., return_aux=True)['disp_seq'], OT/global init first).
+    Each intermediate gets weight gamma^(N-i) against 4x-downsampled GT; the
+    final full-res output carries the full stereo_loss (weight 1).
+    """
+    total, metrics = stereo_loss(disp_final, occ, conf, gt_disp, valid,
+                                 gt_nonocc, **kw)
+    gt_q = _downsample4(gt_disp.astype(jnp.float32))
+    # a GT quarter-pixel is supervised only if all 16 source px were valid
+    valid_q = (_downsample4(valid.astype(jnp.float32)) > 0.999).astype(
+        jnp.float32)
+    nq = jnp.maximum(valid_q.sum(), 1.0)
+    n_seq = len(disp_seq)
+    l_seq = 0.0
+    for i, d in enumerate(disp_seq):
+        w_i = gamma ** (n_seq - i)
+        err = jnp.abs(d.astype(jnp.float32) - gt_q)
+        l_seq = l_seq + w_i * (err * valid_q).sum() / nq
+    total = total + l_seq
+    metrics["loss_seq"] = l_seq
+    metrics["loss"] = total
+    return total, metrics

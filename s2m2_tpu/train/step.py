@@ -12,10 +12,21 @@ import optax
 
 from ..config import ModelConfig
 from ..models.s2m2 import forward
-from .loss import stereo_loss
+from .loss import sequence_loss
 
 
-def make_optimizer(lr=1e-4, weight_decay=1e-5, clip=1.0):
+def make_optimizer(lr=2e-4, weight_decay=1e-5, clip=1.0, warmup_steps=0,
+                   total_steps=None):
+    """AdamW + global-norm clip, optionally under a linear-warmup +
+    cosine-decay schedule (warmup_steps > 0 requires total_steps) — the
+    standard recipe for transformer stereo training; constant lr when
+    warmup_steps == 0 (tiny smoke runs)."""
+    if warmup_steps > 0:
+        if total_steps is None:
+            raise ValueError("warmup schedule needs total_steps")
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=lr, warmup_steps=warmup_steps,
+            decay_steps=total_steps, end_value=lr * 0.01)
     return optax.chain(
         optax.clip_by_global_norm(clip),
         optax.adamw(lr, weight_decay=weight_decay),
@@ -32,10 +43,11 @@ def make_train_step(cfg: ModelConfig, optimizer, mesh=None,
     """
 
     def loss_fn(params, batch):
-        disp, occ, conf = forward(params, batch["img0"], batch["img1"], cfg)
-        total, metrics = stereo_loss(disp, occ, conf, batch["gt_disp"],
-                                     batch["valid"],
-                                     batch.get("gt_nonocc"))
+        disp, occ, conf, aux = forward(params, batch["img0"], batch["img1"],
+                                       cfg, return_aux=True)
+        total, metrics = sequence_loss(aux["disp_seq"], disp, occ, conf,
+                                       batch["gt_disp"], batch["valid"],
+                                       batch.get("gt_nonocc"))
         return total, metrics
 
     def train_step(params, opt_state, batch):

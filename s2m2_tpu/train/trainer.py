@@ -18,14 +18,18 @@ from .step import make_optimizer, make_train_step
 
 def train(cfg: ModelConfig, batches, *, num_steps=100, lr=1e-4, seed=0,
           mesh=None, checkpoint_dir=None, checkpoint_every=500,
-          log_every=10, params=None, log=print):
+          log_every=10, params=None, log=print, warmup_steps=0):
     """Run `num_steps` optimizer steps over `batches` (an iterator of dicts).
 
+    warmup_steps > 0 enables the linear-warmup + cosine-decay LR schedule
+    over num_steps. Supervision is RAFT-style sequence loss over the
+    per-refine-iteration outputs (train/loss.py::sequence_loss).
     Returns (params, history list of metric dicts).
     """
     if params is None:
         params = init_params(cfg, seed=seed)
-    optimizer = make_optimizer(lr=lr)
+    optimizer = make_optimizer(lr=lr, warmup_steps=warmup_steps,
+                               total_steps=num_steps)
 
     img_s = rep = None
     if mesh is not None:

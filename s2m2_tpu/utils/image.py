@@ -98,7 +98,20 @@ def image_crop(img, shape):
 
 
 def rectify_images(left_img, right_img, rectification_data):
-    """cv2.remap stereo rectification (reference: image_utils.py:108-136)."""
+    """Stereo rectification remap (reference: image_utils.py:108-136).
+
+    Production path is the native C++/OpenMP bilinear remap (cv2-parity is
+    pinned by tests/test_native.py); cv2 is the fallback when the native
+    library (or uint8 input) is unavailable."""
+    from .. import native
+    if (native.available() and left_img.dtype == np.uint8
+            and right_img.dtype == np.uint8):
+        left = native.remap_bilinear(left_img, rectification_data["leftMapX"],
+                                     rectification_data["leftMapY"])
+        right = native.remap_bilinear(right_img,
+                                      rectification_data["rightMapX"],
+                                      rectification_data["rightMapY"])
+        return left, right
     import cv2
     left = cv2.remap(left_img, rectification_data["leftMapX"],
                      rectification_data["leftMapY"], cv2.INTER_LINEAR,

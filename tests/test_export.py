@@ -40,3 +40,37 @@ def test_stablehlo_mlir_bridge():
     assert "stablehlo." in mlir          # real StableHLO ops
     assert "tensor<1x32x64x3xf32>" in mlir   # static entry shape
     assert "module @" in mlir
+
+
+def test_export_with_weights_roundtrip(tmp_path, rng):
+    """Weights-as-arguments artifact: module is weight-free; params are
+    supplied at call time (the XL-scale export route)."""
+    from s2m2_tpu.tools.export import export_forward_with_weights
+
+    cfg = ModelConfig(feature_channels=16, num_transformer=1, refine_iter=1)
+    params = init_params(cfg, seed=0)
+    h, w = 64, 96
+
+    blob = export_forward_with_weights(cfg, h, w, compute_dtype=jnp.float32)
+    path = tmp_path / "weightfree.stablehlo"
+    save_artifact(str(path), blob)
+
+    fn = load_artifact(str(path))
+    img0 = rng.uniform(0, 255, (1, h, w, 3)).astype(np.float32)
+    img1 = rng.uniform(0, 255, (1, h, w, 3)).astype(np.float32)
+    disp, occ, conf = fn(params, img0, img1)
+    ref = forward(params, jnp.asarray(img0), jnp.asarray(img1), cfg)
+    np.testing.assert_allclose(np.asarray(disp), np.asarray(ref[0]), atol=1e-4)
+
+
+def test_export_with_weights_scales_to_xl():
+    """XL-scale export is program-text only (no 812 MB constant blob): the
+    constant-embedded route is documented as blocked at XL (axon HTTP 413,
+    CLAUDE.md); this artifact stays small because weights are arguments."""
+    from s2m2_tpu.config import get_config
+    from s2m2_tpu.tools.export import export_forward_with_weights
+
+    cfg = get_config("XL")
+    blob = export_forward_with_weights(cfg, 1024, 1216)
+    # 406M bf16 params would be ~812 MB; the weight-free module is ~MBs
+    assert len(blob) < 64 * 1024 * 1024, len(blob)

@@ -141,3 +141,29 @@ def test_logsumexp_stable(rng):
     ref = torch.logsumexp(torch.from_numpy(x), dim=1)
     got = layers.logsumexp_stable(jnp.asarray(x), axis=1)
     np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=1e-5)
+
+
+def test_conv1x1_dot_path_matches_conv(rng):
+    """S2M2_DOT_1X1: 1x1 stride-1 convs as token dots must match the conv
+    formulation (same contraction, different XLA op)."""
+    import jax.numpy as jnp
+    from s2m2_tpu.models import layers
+
+    p = {"weight": jnp.asarray(rng.standard_normal((1, 1, 48, 64)) * 0.1,
+                               jnp.float32),
+         "bias": jnp.asarray(rng.standard_normal((64,)) * 0.1, jnp.float32)}
+    x = jnp.asarray(rng.standard_normal((2, 9, 11, 48)), jnp.float32)
+    y_conv = layers.conv2d(p, x)
+    layers.set_dot_1x1(True)
+    try:
+        y_dot = layers.conv2d(p, x)
+        # non-1x1 / strided convs must be untouched by the flag
+        p3 = {"weight": jnp.asarray(
+            rng.standard_normal((3, 3, 48, 8)) * 0.1, jnp.float32)}
+        y3a = layers.conv2d(p3, x, stride=2)
+    finally:
+        layers.set_dot_1x1(False)
+    y3b = layers.conv2d(p3, x, stride=2)
+    np.testing.assert_allclose(np.asarray(y_dot), np.asarray(y_conv),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(y3a), np.asarray(y3b))

@@ -1,0 +1,197 @@
+"""int8 static-scale quantization (models/quant.py + engine wiring).
+
+CPU runs the same int8 conv/dot graphs XLA emits for the TPU MXU path
+(bit-exact integer arithmetic), so numerics are fully testable here; only the
+throughput claim needs the chip (scripts/probe_int8.py, README).
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from s2m2_tpu.models import layers, quant
+
+
+def _conv_params(rng, cin, cout, k=3, bias=True):
+    p = {"weight": jnp.asarray(
+        rng.standard_normal((k, k, cin, cout)) * 0.05, jnp.float32)}
+    if bias:
+        p["bias"] = jnp.asarray(rng.standard_normal((cout,)) * 0.01,
+                                jnp.float32)
+    return p
+
+
+def test_observe_then_quantize_conv_matches_manual(rng):
+    p = _conv_params(rng, 32, 64)
+    x = jnp.asarray(rng.standard_normal((1, 8, 10, 32)), jnp.float32)
+
+    with quant.observe() as obs:
+        y_ref = layers.conv2d(p, x)
+    assert len(obs) == 1
+    amax = float(obs[0])
+    assert amax == pytest.approx(float(jnp.max(jnp.abs(x))))
+
+    with quant.quantized([amax / 127.0]):
+        y_q = layers.conv2d(p, x)
+
+    # manual int8 reference
+    s_x = amax / 127.0
+    x_q = np.clip(np.round(np.asarray(x) / s_x), -127, 127)
+    w = np.asarray(p["weight"])
+    s_w = np.abs(w).max(axis=(0, 1, 2), keepdims=True) / 127.0
+    w_q = np.clip(np.round(w / s_w), -127, 127)
+    ref = jax.lax.conv_general_dilated(
+        jnp.asarray(x_q, jnp.float32), jnp.asarray(w_q, jnp.float32),
+        (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    ref = np.asarray(ref) * (s_w.reshape(1, 1, 1, -1) * s_x) + np.asarray(
+        p["bias"])
+    np.testing.assert_allclose(np.asarray(y_q), ref, rtol=1e-5, atol=1e-5)
+    # and the quantized result approximates the fp32 one
+    err = np.abs(np.asarray(y_q) - np.asarray(y_ref)).max()
+    assert err < 0.05 * np.abs(np.asarray(y_ref)).max() + 1e-3
+
+
+def test_linear_quantized_close_to_fp32(rng):
+    p = {"weight": jnp.asarray(rng.standard_normal((64, 128)) * 0.05,
+                               jnp.float32),
+         "bias": jnp.asarray(rng.standard_normal((128,)) * 0.01, jnp.float32)}
+    x = jnp.asarray(rng.standard_normal((7, 64)), jnp.float32)
+    y_ref = layers.linear(p, x)
+    with quant.observe() as obs:
+        layers.linear(p, x)
+    with quant.quantized([float(obs[0]) / 127.0]):
+        y_q = layers.linear(p, x)
+    rel = np.abs(np.asarray(y_q) - np.asarray(y_ref)).mean() / np.abs(
+        np.asarray(y_ref)).mean()
+    assert rel < 0.02
+
+
+def test_small_sites_not_quantized(rng):
+    """Heads with cout < 8 or shallow reduction stay on the float path."""
+    p_small = _conv_params(rng, 64, 1)  # disp_update-style head
+    x = jnp.asarray(rng.standard_normal((1, 6, 6, 64)), jnp.float32)
+    with quant.observe() as obs:
+        y_obs = layers.conv2d(p_small, x)
+    assert len(obs) == 0  # not a quant site
+    with quant.quantized([]):
+        y_q = layers.conv2d(p_small, x)
+    np.testing.assert_array_equal(np.asarray(y_obs), np.asarray(y_q))
+
+
+def test_site_count_mismatch_raises(rng):
+    p = _conv_params(rng, 32, 64)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 32)), jnp.float32)
+    with pytest.raises(ValueError, match="diverged"):
+        with quant.quantized([]):
+            layers.conv2d(p, x)  # one site, zero scales
+    with pytest.raises(ValueError, match="diverged"):
+        with quant.quantized([1.0, 1.0]):
+            layers.conv2d(p, x)  # one site, two scales
+
+
+def test_engine_int8_end_to_end(rng):
+    """Calibrate + run the tiny model int8; disparity must stay within a
+    small-px envelope of the fp32 engine (random weights — the envelope is
+    the structural sanity bound; trained-weight accuracy gates live with the
+    golden EPE machinery)."""
+    from s2m2_tpu.config import ModelConfig
+    from s2m2_tpu.runtime.engine import StereoEngine
+
+    cfg = ModelConfig(feature_channels=32, num_transformer=1, refine_iter=2)
+    left = rng.uniform(0, 255, (96, 128, 3)).astype(np.float32)
+    right = np.roll(left, 3, axis=1)
+
+    eng32 = StereoEngine(cfg, precision="fp32", seed=3)
+    eng8 = StereoEngine(cfg, precision="int8", seed=3)
+    d32 = eng32.run(left, right)[0]
+    d8 = eng8.run(left, right)[0]
+    assert eng8.quant_scales is not None and len(eng8.quant_scales) > 50
+    assert np.isfinite(d8).all()
+    assert np.abs(d8 - d32).mean() < 1.0
+
+
+def test_engine_int8_explicit_calibration_persists(rng):
+    from s2m2_tpu.config import ModelConfig
+    from s2m2_tpu.runtime.engine import StereoEngine
+    from s2m2_tpu.utils.image import image_pad
+
+    cfg = ModelConfig(feature_channels=32, num_transformer=1, refine_iter=1)
+    eng = StereoEngine(cfg, precision="int8", seed=0)
+    a = image_pad(rng.uniform(0, 255, (1, 64, 96, 3)).astype(np.float32))
+    s1 = eng.calibrate(a, a).copy()
+    # recalibrating on the same frame is a fixed point
+    np.testing.assert_array_equal(s1, eng.calibrate(a, a))
+    # a different frame only ever WIDENS scales (amax accumulates by max)
+    b = image_pad(rng.uniform(0, 255, (1, 64, 96, 3)).astype(np.float32))
+    s2 = eng.calibrate(b, b)
+    assert (s2 >= s1 - 1e-12).all()
+
+
+def test_sdpa_quantized_close_to_fp32(rng):
+    """int8 attention core (QK^T + PV on int8) vs the fp32 sdpa."""
+    from s2m2_tpu.models.attention import sdpa
+
+    q = jnp.asarray(rng.standard_normal((2, 2, 32, 16)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, 2, 32, 16)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 2, 32, 16)), jnp.float32)
+    ref = sdpa(q, k, v)
+    quant.set_int8_attn(True)
+    try:
+        with quant.observe() as obs:
+            sdpa(q, k, v)
+        assert len(obs) == 3
+        with quant.quantized([float(o) / 127.0 for o in obs]):
+            got = sdpa(q, k, v)
+    finally:
+        quant.set_int8_attn(True)
+    err = np.abs(np.asarray(got) - np.asarray(ref))
+    assert err.mean() < 0.03 * np.abs(np.asarray(ref)).mean() + 1e-3
+
+
+@pytest.mark.parametrize("fixture,bound", [
+    ("s2m2_c32_ntr1.npz", 0.02),
+    ("s2m2_c32_ntr1_neg_up.npz", 0.35),
+])
+def test_int8_drift_on_golden(fixture, bound):
+    """End-to-end int8 engine drift vs the fp32 golden reference.
+
+    Measured (attn internals ON): 0.0036 px on the positivity fixture
+    (bf16: 0.0031) and 0.236 px on the negative-disparity/output-upsample
+    fixture (bf16: 0.188 — the x8 output-scale weight-rounding noise
+    documented in test_bf16_drift_vs_fp32, plus int8's share)."""
+    import os as _os
+
+    import jax
+
+    from s2m2_tpu.models import quant as q
+    from s2m2_tpu.models.s2m2 import forward as fwd
+    from s2m2_tpu.tools.convert_checkpoint import nest as _nest
+    from s2m2_tpu.config import ModelConfig
+
+    path = _os.path.join(_os.path.dirname(__file__), "golden", fixture)
+    with np.load(path) as z:
+        data = {k: z[k] for k in z.files}
+    meta = list(data.pop("__meta"))
+    ch, ntr, refine_iter = meta[:3]
+    img0 = np.transpose(data.pop("__img0"), (0, 2, 3, 1))
+    img1 = np.transpose(data.pop("__img1"), (0, 2, 3, 1))
+    ref_disp = np.transpose(data.pop("__disp"), (0, 2, 3, 1))
+    for k in ("__occ", "__conf"):
+        data.pop(k)
+    cfg = ModelConfig(feature_channels=int(ch), num_transformer=int(ntr),
+                      refine_iter=int(refine_iter),
+                      use_positivity=bool(meta[3]) if len(meta) > 3 else True,
+                      output_upsample=bool(meta[4]) if len(meta) > 4 else False)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                          _nest({k: jnp.asarray(v) for k, v in data.items()}))
+    a = jnp.asarray(img0, jnp.bfloat16)
+    b = jnp.asarray(img1, jnp.bfloat16)
+    q.set_int8_attn(True)
+    with q.observe() as obs:
+        fwd(params, a, b, cfg)
+    scales = tuple(float(o) / 127.0 for o in obs)
+    with q.quantized(scales):
+        disp8, _, _ = fwd(params, a, b, cfg)
+    epe = np.abs(np.asarray(disp8, np.float32) - ref_disp).mean()
+    assert epe < bound, f"int8 EPE vs reference fp32 {epe} (bound {bound})"

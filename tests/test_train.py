@@ -1,5 +1,6 @@
 """Training subsystem: synthetic data, loss decreases, checkpoints written."""
 import numpy as np
+import pytest
 
 from s2m2_tpu.config import ModelConfig
 from s2m2_tpu.train.data import synthetic_stereo_batches
@@ -28,13 +29,47 @@ def test_train_loss_decreases(tmp_path):
     params, history = train(cfg, batches, num_steps=8, lr=2e-4,
                             log_every=1, log=lambda *a: None,
                             checkpoint_dir=str(tmp_path / "ckpt"),
-                            checkpoint_every=1000)
+                            checkpoint_every=1000, warmup_steps=2)
     assert len(history) == 8
     assert np.isfinite(history[-1]["loss"])
+    # the RAFT-style supervised-iterations path must be active: every step
+    # reports the exponentially-weighted sequence term
+    assert all(np.isfinite(h["loss_seq"]) and h["loss_seq"] > 0
+               for h in history)
     # loss should drop vs the first step on this tiny overfit workload
     assert history[-1]["loss"] < history[0]["loss"]
     from s2m2_tpu.tools.checkpoint import latest_step
     assert latest_step(str(tmp_path / "ckpt")) == 8
+
+
+def test_sequence_loss_weights_and_targets():
+    """gamma weighting and 4x GT pooling of the sequence loss."""
+    import jax.numpy as jnp
+
+    from s2m2_tpu.train.loss import sequence_loss, stereo_loss
+
+    rng = np.random.default_rng(0)
+    b, h, w = 1, 16, 16
+    gt = jnp.asarray(rng.uniform(2, 10, (b, h, w, 1)), jnp.float32)
+    valid = jnp.ones((b, h, w, 1), jnp.float32)
+    final = gt + 1.0
+    occ = jnp.full((b, h, w, 1), 0.9)
+    conf = jnp.full((b, h, w, 1), 0.9)
+    gt_q = np.asarray(gt).reshape(b, h // 4, 4, w // 4, 4, 1).mean((2, 4))
+    # two intermediates offset by +2 and +1 px from pooled GT
+    seq = [jnp.asarray(gt_q + 2.0), jnp.asarray(gt_q + 1.0)]
+    total, m = sequence_loss(seq, final, occ, conf, gt, valid, gamma=0.5)
+    base, _ = stereo_loss(final, occ, conf, gt, valid)
+    # weights: gamma^2 * 2px + gamma^1 * 1px = 0.25*2 + 0.5*1 = 1.0
+    assert m["loss_seq"] == pytest.approx(1.0, rel=1e-5)
+    assert total == pytest.approx(float(base) + 1.0, rel=1e-5)
+
+
+def test_warmup_schedule_requires_total_steps():
+    from s2m2_tpu.train.step import make_optimizer
+    with pytest.raises(ValueError):
+        make_optimizer(warmup_steps=10)
+    make_optimizer(warmup_steps=10, total_steps=100)  # ok
 
 
 def test_sharded_train_step_ntr2():

@@ -16,6 +16,12 @@ BASELINE_FPS = {  # TensorRT fp16 on RTX 5090 (reference README.md:63-122)
     ("XL", 640, 480): 26.6, ("XL", 1216, 1024): 6.4, ("XL", 2432, 2048): 1.4,
 }
 
+# Measured-best deployment precision per variant on v5e (README table):
+# compute-bound variants win with the int8 MXU path (XL@1216x1024: 3.067
+# int8 vs 2.652 bf16); the bandwidth-bound S loses with it (9.84 vs 10.3).
+# All int8 rows are drift-bounded (tests/test_quant.py).
+BEST_PRECISION = {"S": "bf16", "M": "int8", "L": "int8", "XL": "int8"}
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -23,13 +29,15 @@ def main():
     ap.add_argument("--width", type=int, default=1216)
     ap.add_argument("--height", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=5)
-    ap.add_argument("--precision", default="bf16",
-                    choices=["bf16", "fp32", "int8"])
+    ap.add_argument("--precision", default="best",
+                    choices=["best", "bf16", "fp32", "int8"])
     ap.add_argument("--batch", type=int, default=1)
     args = ap.parse_args()
 
     from s2m2_tpu.runtime.engine import StereoEngine
 
+    if args.precision == "best":
+        args.precision = BEST_PRECISION[args.model]
     eng = StereoEngine(args.model, precision=args.precision,
                        refine_iter=3, use_positivity=True)
     # benchmark takes (height, width) of the padded frame; the reference's

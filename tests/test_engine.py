@@ -84,19 +84,35 @@ def test_chained_timer_canary(rng):
 
 
 def test_benchmark_uses_chained_timer(monkeypatch):
-    """engine.benchmark routes through the single honest timing impl."""
+    """engine.benchmark routes through the single honest timing impl (the
+    shared _chained program driven by profiling.run_chained)."""
     import s2m2_tpu.runtime.engine as engine_mod
 
     calls = {}
 
-    def fake_timer(fn, *args, n_iter=10, n_warmup=1, perturb_arg=0):
+    def fake_run(jitted, *args, n_iter=10, n_warmup=1):
         calls["n_iter"] = n_iter
         calls["n_args"] = len(args)   # params must be a real argument
-        return 0.25
+        return 0.25, None
 
-    monkeypatch.setattr(engine_mod, "chained_timer", fake_timer)
+    monkeypatch.setattr(engine_mod, "run_chained", fake_run)
     eng = StereoEngine(CFG, precision="fp32")
     res = eng.benchmark(32, 64, n_warmup=0, n_iter=7)
     assert calls["n_iter"] == 7
     assert calls["n_args"] == 3   # (params, left, right) — no closure consts
     assert res["fps"] == 4.0
+
+
+def test_run_and_benchmark_share_one_program():
+    """run(n_repeat>1) and benchmark() must reuse the SAME jitted chained
+    step (a second timing-only program would double the ~12 min remote
+    compile per resolution on the target runtime)."""
+    import numpy as np
+
+    eng = StereoEngine(CFG, precision="fp32")
+    step1 = eng._chained
+    eng.benchmark(32, 64, n_iter=2)
+    rng = np.random.default_rng(0)
+    left = rng.uniform(0, 255, (32, 64, 3)).astype(np.float32)
+    eng.run(left, left, n_repeat=2)
+    assert eng._chained is step1  # cached property, shared across paths

@@ -144,7 +144,7 @@ def test_sdpa_quantized_close_to_fp32(rng):
         with quant.quantized([float(o) / 127.0 for o in obs]):
             got = sdpa(q, k, v)
     finally:
-        quant.set_int8_attn(True)
+        quant.set_int8_attn(False)  # restore the measured default (off)
     err = np.abs(np.asarray(got) - np.asarray(ref))
     assert err.mean() < 0.03 * np.abs(np.asarray(ref)).mean() + 1e-3
 
@@ -187,11 +187,14 @@ def test_int8_drift_on_golden(fixture, bound):
                           _nest({k: jnp.asarray(v) for k, v in data.items()}))
     a = jnp.asarray(img0, jnp.bfloat16)
     b = jnp.asarray(img1, jnp.bfloat16)
-    q.set_int8_attn(True)
-    with q.observe() as obs:
-        fwd(params, a, b, cfg)
-    scales = tuple(float(o) / 127.0 for o in obs)
-    with q.quantized(scales):
-        disp8, _, _ = fwd(params, a, b, cfg)
+    q.set_int8_attn(True)  # bound the OPT-IN attn path too (superset)
+    try:
+        with q.observe() as obs:
+            fwd(params, a, b, cfg)
+        scales = tuple(float(o) / 127.0 for o in obs)
+        with q.quantized(scales):
+            disp8, _, _ = fwd(params, a, b, cfg)
+    finally:
+        q.set_int8_attn(False)  # restore the measured default (off)
     epe = np.abs(np.asarray(disp8, np.float32) - ref_disp).mean()
     assert epe < bound, f"int8 EPE vs reference fp32 {epe} (bound {bound})"

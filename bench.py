@@ -7,7 +7,15 @@ reference's TensorRT RTX-5090 fp16 number (6.4 FPS, reference README.md:117-122)
 """
 import argparse
 import json
+import os
 import sys
+
+# persistent XLA compilation cache: identical programs skip the remote
+# compile (~12 min at XL on the tunneled runtime) — must be set before jax
+# imports
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
 
 BASELINE_FPS = {  # TensorRT fp16 on RTX 5090 (reference README.md:63-122)
     ("S", 640, 480): 124.0, ("S", 1216, 1024): 59.4, ("S", 2432, 2048): 7.3,
@@ -16,11 +24,12 @@ BASELINE_FPS = {  # TensorRT fp16 on RTX 5090 (reference README.md:63-122)
     ("XL", 640, 480): 26.6, ("XL", 1216, 1024): 6.4, ("XL", 2432, 2048): 1.4,
 }
 
-# Measured-best deployment precision per variant on v5e (README table):
-# compute-bound variants win with the int8 MXU path (XL@1216x1024: 3.067
-# int8 vs 2.652 bf16); the bandwidth-bound S loses with it (9.84 vs 10.3).
+# Measured-best deployment precision per variant on v5e at 1216x1024
+# (README table): compute-bound wide variants win with the int8 MXU path
+# (XL 3.067 int8 vs 2.652 bf16; L 4.65 vs 4.28); the bandwidth-bound S
+# loses (9.84 vs 10.3) and M's C=192 tiles poorly for int8 (4.48 vs 5.46).
 # All int8 rows are drift-bounded (tests/test_quant.py).
-BEST_PRECISION = {"S": "bf16", "M": "int8", "L": "int8", "XL": "int8"}
+BEST_PRECISION = {"S": "bf16", "M": "bf16", "L": "int8", "XL": "int8"}
 
 
 def main():

@@ -63,11 +63,13 @@ def conv2d(p, x, stride=1, padding=None):
         pad = [tuple(padding[0]), tuple(padding[1])]
     s = (stride, stride) if isinstance(stride, int) else tuple(stride)
     if quant.active():
-        acc = quant.conv2d_maybe_quantized(x, w, s, pad, _CONV_DN)
+        acc = quant.conv2d_maybe_quantized(x, p, s, pad, _CONV_DN)
         if acc is not None:
             if "bias" in p and p["bias"] is not None:
                 acc = acc + p["bias"].astype(jnp.float32)
             return acc.astype(x.dtype)
+    if "w_scale" in p:  # pre-quantized weights on a float path: dequantize
+        w = w.astype(jnp.float32) * p["w_scale"]
     if (_DOT_1X1 and kh == 1 and kw == 1 and s == (1, 1)
             and pad == [(0, 0), (0, 0)]):
         y = jnp.einsum("bhwc,co->bhwo", x, w[0, 0].astype(x.dtype),
@@ -106,12 +108,15 @@ def conv_transpose2d(p, x, stride=1, padding=0):
 def linear(p, x):
     """Dense layer on the trailing axis. Weight layout (in, out)."""
     if quant.active():
-        acc = quant.linear_maybe_quantized(x, p["weight"])
+        acc = quant.linear_maybe_quantized(x, p)
         if acc is not None:
             if "bias" in p and p["bias"] is not None:
                 acc = acc + p["bias"].astype(jnp.float32)
             return acc.astype(x.dtype)
-    y = jnp.einsum("...i,io->...o", x, p["weight"].astype(x.dtype))
+    w = p["weight"]
+    if "w_scale" in p:  # pre-quantized weights on a float path: dequantize
+        w = w.astype(jnp.float32) * p["w_scale"]
+    y = jnp.einsum("...i,io->...o", x, w.astype(x.dtype))
     if "bias" in p and p["bias"] is not None:
         y = y + p["bias"].astype(y.dtype)
     return y

@@ -136,20 +136,30 @@ def _quantize_weight(w, reduce_axes):
     return w_q, s_w
 
 
-def conv2d_maybe_quantized(x, w, strides, padding, dn):
+def conv2d_maybe_quantized(x, p, strides, padding, dn):
     """int8 conv path when a quant context is active and the site qualifies;
     returns the accumulator in fp32 (bias/cast handled by the caller), or
-    None to tell the caller to take the normal bf16/fp32 path."""
+    None to tell the caller to take the normal bf16/fp32 path.
+
+    Weights are taken PRE-quantized when the param dict carries 'w_scale'
+    (quantize_params_tree — int8 weights resident in HBM, no per-frame
+    requantization pass over the 406M-param tree); float weights are
+    quantized inline (runtime-repacked stem/mask-head weights)."""
     s = _ctx()
+    w = p["weight"]
     kh, kw, cin, cout = w.shape
-    if s.mode is None or not _quantizable(kh * kw * cin, cout):
+    prequant = "w_scale" in p
+    if s.mode is None or not (prequant or _quantizable(kh * kw * cin, cout)):
         return None
     if s.mode == "observe":
         _record_amax(x)
         return None
     s_x = _next_scale()
     x_q = _quantize_input(x, s_x)
-    w_q, s_w = _quantize_weight(w, (0, 1, 2))  # -> s_w (1,1,1,O)
+    if prequant:
+        w_q, s_w = w, p["w_scale"]
+    else:
+        w_q, s_w = _quantize_weight(w, (0, 1, 2))  # -> s_w (1,1,1,O)
     if kh == kw == 1 and strides == (1, 1) and dot_1x1():
         acc = jnp.einsum("bhwc,co->bhwo", x_q, w_q[0, 0],
                          preferred_element_type=jnp.int32)
@@ -211,19 +221,65 @@ def sdpa_maybe_quantized(q, k, v):
     return (out.astype(jnp.float32) * (pmax * (s_v / 127.0))).astype(v.dtype)
 
 
-def linear_maybe_quantized(x, w):
+def linear_maybe_quantized(x, p):
     """int8 dense path on the trailing axis; same contract as the conv
-    variant. w: (in, out)."""
+    variant. p['weight']: (in, out)."""
     s = _ctx()
+    w = p["weight"]
     cin, cout = w.shape
-    if s.mode is None or not _quantizable(cin, cout):
+    prequant = "w_scale" in p
+    if s.mode is None or not (prequant or _quantizable(cin, cout)):
         return None
     if s.mode == "observe":
         _record_amax(x)
         return None
     s_x = _next_scale()
     x_q = _quantize_input(x, s_x)
-    w_q, s_w = _quantize_weight(w, (0,))  # -> s_w (1, out)
+    if prequant:
+        w_q, s_w = w, p["w_scale"]
+    else:
+        w_q, s_w = _quantize_weight(w, (0,))  # -> s_w (1, out)
     acc = jnp.einsum("...i,io->...o", x_q, w_q,
                      preferred_element_type=jnp.int32)
     return acc.astype(jnp.float32) * (s_w.reshape(1, -1)[0] * s_x)
+
+
+# Subtrees whose conv weights are re-packed at trace time (packing.py weight
+# rearrangements) — they must stay float; their sites quantize inline.
+_REPACKED_PATHS = (
+    "cnn_backbone.conv0",
+    "cnn_backbone.conv1_down.0",
+    "upsample_mask_1x",
+    "upsample_mask_4x_refine",
+)
+
+
+def quantize_params_tree(params):
+    """Offline per-output-channel int8 weight quantization of a params
+    pytree: qualifying 'weight' leaves become int8 and gain a fp32
+    'w_scale' sibling; everything else (biases, norms, small heads,
+    runtime-repacked subtrees) is untouched. The engine applies this once
+    after calibration — int8 weights halve parameter HBM residency and
+    remove the per-frame weight-requantization pass."""
+    def walk(node, path):
+        if not isinstance(node, dict):
+            return node
+        new = {k: walk(v, f"{path}.{k}" if path else k)
+               for k, v in node.items()}
+        w = new.get("weight")
+        if (w is not None and not isinstance(w, dict)
+                and not any(path == p or path.startswith(p + ".")
+                            for p in _REPACKED_PATHS)):
+            if w.ndim == 4:
+                kh, kw, cin, cout = w.shape
+                if _quantizable(kh * kw * cin, cout):
+                    w_q, s_w = _quantize_weight(w, (0, 1, 2))
+                    new["weight"], new["w_scale"] = w_q, s_w
+            elif w.ndim == 2:
+                cin, cout = w.shape
+                if _quantizable(cin, cout):
+                    w_q, s_w = _quantize_weight(w, (0,))
+                    new["weight"], new["w_scale"] = w_q, s_w
+        return new
+
+    return walk(params, "")

@@ -83,6 +83,19 @@ def test_2d_demo(tmp_path, monkeypatch, tiny_engine_factory):
     assert img is not None and img.ndim == 3
 
 
+def test_2d_demo_int8(tmp_path, monkeypatch, tiny_engine_factory):
+    """The int8 deployment path through the same CLI surface: the engine
+    auto-calibrates on the real sample pair and produces a result panel."""
+    out = os.path.join(str(tmp_path), "result_int8.png")
+    _run_demo("visualize_2d_simple.py",
+              ["--model_type", "S", "--precision", "int8",
+               "--downscale", "8", "--n_repeat", "1", "--out", out],
+              monkeypatch, tiny_engine_factory)
+    assert os.path.exists(out)
+    img = cv2.imread(out)
+    assert img is not None and img.ndim == 3
+
+
 def test_export_and_artifact_benchmark_demos(tmp_path, monkeypatch):
     """Export CLI writes a verified artifact; the raw-artifact benchmark
     (TRT-analog) loads and times it — no engine/model source needed."""

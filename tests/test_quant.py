@@ -198,3 +198,37 @@ def test_int8_drift_on_golden(fixture, bound):
         q.set_int8_attn(False)  # restore the measured default (off)
     epe = np.abs(np.asarray(disp8, np.float32) - ref_disp).mean()
     assert epe < bound, f"int8 EPE vs reference fp32 {epe} (bound {bound})"
+
+
+def test_quantize_params_tree_structure(rng):
+    """Offline weight pre-quantization: qualifying weights become int8 with
+    per-output-channel scales; repacked subtrees and small heads stay float,
+    and the quantized forward matches the runtime-quantized one exactly."""
+    from s2m2_tpu.config import ModelConfig
+    from s2m2_tpu.models.init import init_params
+    from s2m2_tpu.models.s2m2 import forward
+
+    cfg = ModelConfig(feature_channels=32, num_transformer=1, refine_iter=1)
+    params = init_params(cfg, seed=0)
+    qp = quant.quantize_params_tree(params)
+
+    # quantized: a transformer projection
+    proj = qp["transformer"]["uformer_list"]["0"]["enc_attn0"][
+        "self_attn"]["attn"]["q"]
+    assert proj["weight"].dtype == jnp.int8 and "w_scale" in proj
+    # untouched: runtime-repacked stem conv + 1-channel disparity head
+    assert qp["cnn_backbone"]["conv0"]["0"]["weight"].dtype != jnp.int8
+    assert qp["upsample_mask_4x_refine"]["conv_x"]["weight"].dtype != jnp.int8
+    assert qp["refiner"]["disp_update"]["2"]["weight"].dtype != jnp.int8
+
+    # same floats either way: pre-quantized weights vs inline quantization
+    img = jnp.asarray(rng.uniform(0, 255, (1, 64, 96, 3)), jnp.float32)
+    with quant.observe() as obs:
+        forward(params, img, img, cfg)
+    scales = tuple(float(o) / 127.0 for o in obs)
+    with quant.quantized(scales):
+        d_runtime = forward(params, img, img, cfg)[0]
+    with quant.quantized(scales):
+        d_pre = forward(qp, img, img, cfg)[0]
+    np.testing.assert_allclose(np.asarray(d_pre), np.asarray(d_runtime),
+                               atol=1e-4)

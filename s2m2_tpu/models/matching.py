@@ -86,16 +86,20 @@ def disp_init(p, feature, *, ot_iter=3, use_positivity=True, window=2):
         masked_prob = jnp.where(tri, jnp.zeros((), prob.dtype), prob)
 
     # windowed soft-argmax: +-window around the row-wise argmax
-    # (reference: submodules.py:226-239)
+    # (reference: submodules.py:226-239). The reference gathers the 5
+    # window taps (5 take_along_axis passes); on TPU we compute the same
+    # sums as ONE masked reduction over the candidate axis — gather-free,
+    # fused with the probability read (same reformulation class as the
+    # cost-volume hat kernel):
+    #   conf = sum_j p[j] * 1[|j - argmax| <= window]
+    #   corr = sum_j p[j] * j * 1[|j - argmax| <= window]
     mp32 = masked_prob.astype(jnp.float32)
     ind = jnp.argmax(mp32, axis=3)[..., None]  # (B,H,W,1)
-    padded = jnp.pad(mp32, ((0, 0), (0, 0), (0, 0), (window, window)))
-    conf = jnp.zeros_like(mp32[..., :1])
-    corr = jnp.zeros_like(mp32[..., :1])
-    for idx in range(2 * window + 1):
-        weight = jnp.take_along_axis(padded, ind + idx, axis=3)
-        conf = conf + weight
-        corr = corr + weight * (ind + idx - window).astype(jnp.float32)
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, w), 3)
+    in_window = (jnp.abs(j - ind) <= window).astype(jnp.float32)
+    conf = jnp.sum(mp32 * in_window, axis=3, keepdims=True)
+    corr = jnp.sum(mp32 * in_window * j.astype(jnp.float32),
+                   axis=3, keepdims=True)
     eps = 1e-4
     corr = (corr + eps) / (conf + eps)
     disparity = x_grid.reshape(1, 1, w, 1) - corr

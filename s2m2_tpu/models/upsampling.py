@@ -96,6 +96,12 @@ def upsample4x_packed(xs, up_weights_packed):
     neighborhood at index ((2p+a)//4, (2q+b)//4) == (p//2, q//2) for all
     phases, so a nearest x2 (not x4) of the unfolded taps suffices.
 
+    Measured counter-example (round 3): rewriting this einsum (and
+    upsample1x/_multi) as 9 tap-accumulation steps to avoid materializing
+    the unfold tensor INCREASED XLA cost-analysis traffic by ~33 GB on
+    S@1216x1024 — the fp32 accumulator round-trips HBM at every step and
+    XLA does not fuse the chain; the einsum contraction stays.
+
     xs: list of (B, h, w, 1) quarter-res maps.
     up_weights_packed: (B, 2h, 2w, 4, 9).
     Returns (B, 2h, 2w, 4, len(xs)) phase-major packed full-res outputs.

@@ -140,6 +140,23 @@ class StereoEngine:
         self.__dict__.pop("_chained", None)
         return self.quant_scales
 
+    def save_calibration(self, path):
+        """Persist the int8 activation scales (np .npy) so serving skips
+        the calibration pass — the TRT-calibration-cache analog."""
+        if self.quant_scales is None:
+            raise RuntimeError("nothing to save — engine is not calibrated")
+        np.save(path, self.quant_scales)
+
+    def load_calibration(self, path):
+        """Load scales saved by save_calibration and activate the int8
+        path (site count is validated at trace time)."""
+        scales = np.load(path)
+        self.quant_scales = np.asarray(scales, np.float32)
+        self._run_params = quant.quantize_params_tree(self.params)
+        self.__dict__.pop("_jitted", None)
+        self.__dict__.pop("_chained", None)
+        return self.quant_scales
+
     def _auto_calibrate(self, img0, img1, max_hw=512):
         """Calibrate on a (possibly downscaled) copy of the given frames."""
         a = np.asarray(img0, np.float32)

@@ -232,3 +232,29 @@ def test_quantize_params_tree_structure(rng):
         d_pre = forward(qp, img, img, cfg)[0]
     np.testing.assert_allclose(np.asarray(d_pre), np.asarray(d_runtime),
                                atol=1e-4)
+
+
+def test_calibration_cache_roundtrip(tmp_path, rng, monkeypatch):
+    """Offline calibration tool: save scales, load into a FRESH engine, run
+    without any calibration pass (the TRT calibration-cache analog)."""
+    from s2m2_tpu.config import ModelConfig
+    import s2m2_tpu.tools.calibrate as cal
+    from s2m2_tpu.runtime.engine import StereoEngine
+
+    cfg = ModelConfig(feature_channels=32, num_transformer=1, refine_iter=1)
+    monkeypatch.setattr(
+        "s2m2_tpu.config.VARIANTS",
+        {"S": dict(feature_channels=32, num_transformer=1)})
+    left = rng.uniform(0, 255, (64, 96, 3)).astype(np.uint8)
+    import cv2
+    p0 = str(tmp_path / "l.png"); p1 = str(tmp_path / "r.png")
+    cv2.imwrite(p0, left); cv2.imwrite(p1, left)
+    out = str(tmp_path / "calib.npy")
+    assert cal.main(["--model", "S", "--images", p0, p1, "--out", out,
+                     "--num_refine", "1"]) == 0
+
+    eng = StereoEngine(cfg, precision="int8", seed=0)
+    scales = eng.load_calibration(out)
+    assert len(scales) > 50 and eng.quant_scales is not None
+    d = eng.run(left.astype(np.float32), left.astype(np.float32))[0]
+    assert np.isfinite(d).all()

@@ -130,8 +130,17 @@ def self_attn(p, x, num_heads, pe=None):
 
     Note: merging the q/k/v projections into one widened matmul was tried and
     REGRESSED end-to-end XL FPS by ~11% on v5e — XLA schedules the three
-    separate projections better. Keep them separate.
+    separate projections better. Keep them separate. On the int8 path the
+    three projections share ONE quantized copy of x (share_gemm_input).
+    A "contract the head axis in place" reformulation (reshape-only
+    (B,N,H,D) q/k/v, head axis batched mid-position in the dots, head merge
+    folded into the projection contraction) was built and cost-analyzed:
+    +3.9 GB of relayout copies on the XL MRT (both at h==1 and h>1) — XLA's
+    layout assignment prefers exactly this (B,H,N,D) form, so the explicit
+    _split_heads/_merge_heads transposes stay.
     """
+    from . import quant as _q
+    x = _q.share_gemm_input(x) if _q.active() else x
     q = _split_heads(layers.linear(p["q"], x), num_heads)
     k = _split_heads(layers.linear(p["k"], x), num_heads)
     v = _split_heads(layers.linear(p["v"], x), num_heads)
@@ -160,6 +169,8 @@ def cross_attn_packed(p, xy, b0, num_heads):
     concat+slice round trips of a per-view API, or a jnp.roll of k/v which
     measured +24 ms on XL). xy: (2*b0, N, C), left half first.
     """
+    from . import quant as _q
+    xy = _q.share_gemm_input(xy) if _q.active() else xy
     q = _split_heads(layers.linear(p["q"], xy), num_heads)
     k = _split_heads(layers.linear(p["k"], xy), num_heads)
     v = _split_heads(layers.linear(p["v"], xy), num_heads)
@@ -239,7 +250,10 @@ def ffn(p, z):
 
 def conv_block_2d(p, z):
     """Dual-branch conv block: 3x3 MLP-conv + 1x1 MLP-conv (reference: 255-281).
-    Note: no residual — the two branches are summed."""
+    Note: no residual — the two branches are summed. Both branch entries
+    read the same z: one shared int8 copy on the quant path."""
+    from . import quant as _q
+    z = _q.share_gemm_input(z) if _q.active() else z
     a = layers.conv2d(p["convs"]["0"], z)
     a = layers.conv2d(p["convs"]["2"], layers.gelu(a))
     b = layers.conv2d(p["convs_1x"]["0"], z)

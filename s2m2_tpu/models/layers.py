@@ -67,7 +67,8 @@ def conv2d(p, x, stride=1, padding=None):
         if acc is not None:
             if "bias" in p and p["bias"] is not None:
                 acc = acc + p["bias"].astype(jnp.float32)
-            return acc.astype(x.dtype)
+            return acc.astype(quant.unwrap(x).dtype)
+    x = quant.unwrap(x)
     if "w_scale" in p:  # pre-quantized weights on a float path: dequantize
         w = w.astype(jnp.float32) * p["w_scale"]
     if (_DOT_1X1 and kh == 1 and kw == 1 and s == (1, 1)
@@ -112,7 +113,8 @@ def linear(p, x):
         if acc is not None:
             if "bias" in p and p["bias"] is not None:
                 acc = acc + p["bias"].astype(jnp.float32)
-            return acc.astype(x.dtype)
+            return acc.astype(quant.unwrap(x).dtype)
+    x = quant.unwrap(x)
     w = p["weight"]
     if "w_scale" in p:  # pre-quantized weights on a float path: dequantize
         w = w.astype(jnp.float32) * p["w_scale"]

@@ -127,6 +127,45 @@ def _quantize_input(x, s_x):
                     -127.0, 127.0).astype(jnp.int8)
 
 
+class SharedQuantInput:
+    """An activation quantized ONCE and consumed by several GEMMs.
+
+    q/k/v (and dual conv branches) read the same tensor; per-site
+    quantization makes XLA materialize the bf16 producer output PLUS one
+    int8 copy per consumer (the per-consumer quantizes end up inside each
+    GEMM's own input fusion, so they never CSE). Wrapping the tensor at its
+    definition collapses that to a single int8 materialization whose
+    producer (usually a LayerNorm) can fuse the quantize into its epilogue —
+    the bf16 intermediate never touches HBM. The observed amax is identical
+    to what the per-site pass recorded (same tensor), so calibration
+    semantics are unchanged; only the site COUNT shrinks.
+    """
+    __slots__ = ("x", "q", "scale")
+
+    def __init__(self, x, q=None, scale=None):
+        self.x = x
+        self.q = q
+        self.scale = scale
+
+
+def share_gemm_input(x):
+    """Mark `x` as a multi-GEMM input: records/consumes ONE calibration site
+    for all downstream consumers. Returns `x` unchanged outside a quant
+    context (the float paths never see the wrapper)."""
+    s = _ctx()
+    if s.mode is None:
+        return x
+    if s.mode == "observe":
+        _record_amax(x)
+        return SharedQuantInput(x)
+    s_x = _next_scale()
+    return SharedQuantInput(x, _quantize_input(x, s_x), s_x)
+
+
+def unwrap(x):
+    return x.x if isinstance(x, SharedQuantInput) else x
+
+
 def _quantize_weight(w, reduce_axes):
     """Per-output-channel symmetric int8: returns (w_q, s_w)."""
     wf = w.astype(jnp.float32)
@@ -149,13 +188,18 @@ def conv2d_maybe_quantized(x, p, strides, padding, dn):
     w = p["weight"]
     kh, kw, cin, cout = w.shape
     prequant = "w_scale" in p
+    shared = isinstance(x, SharedQuantInput)
     if s.mode is None or not (prequant or _quantizable(kh * kw * cin, cout)):
         return None
     if s.mode == "observe":
-        _record_amax(x)
+        if not shared:
+            _record_amax(x)
         return None
-    s_x = _next_scale()
-    x_q = _quantize_input(x, s_x)
+    if shared:
+        s_x, x_q = x.scale, x.q
+    else:
+        s_x = _next_scale()
+        x_q = _quantize_input(x, s_x)
     if prequant:
         w_q, s_w = w, p["w_scale"]
     else:
@@ -228,13 +272,18 @@ def linear_maybe_quantized(x, p):
     w = p["weight"]
     cin, cout = w.shape
     prequant = "w_scale" in p
+    shared = isinstance(x, SharedQuantInput)
     if s.mode is None or not (prequant or _quantizable(cin, cout)):
         return None
     if s.mode == "observe":
-        _record_amax(x)
+        if not shared:
+            _record_amax(x)
         return None
-    s_x = _next_scale()
-    x_q = _quantize_input(x, s_x)
+    if shared:
+        s_x, x_q = x.scale, x.q
+    else:
+        s_x = _next_scale()
+        x_q = _quantize_input(x, s_x)
     if prequant:
         w_q, s_w = w, p["w_scale"]
     else:

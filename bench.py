@@ -39,7 +39,7 @@ def main():
     ap.add_argument("--height", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--precision", default="best",
-                    choices=["best", "bf16", "fp32", "int8"])
+                    choices=["best", "bf16", "fp32", "int8", "int8a"])
     ap.add_argument("--batch", type=int, default=1)
     args = ap.parse_args()
 

@@ -18,14 +18,17 @@ def main():
     ap.add_argument("--precision", default="bf16", choices=["bf16", "fp32", "int8"])
     ap.add_argument("--downscale", type=int, default=1)
     ap.add_argument("--out", default="middlebury_cloud.ply")
+    ap.add_argument("--html", default=None,
+                    help="also write a self-contained interactive WebGL "
+                         "viewer (open in any browser; no dependencies)")
     ap.add_argument("--show", action="store_true")
     args = ap.parse_args()
 
     from s2m2_tpu.runtime.engine import StereoEngine
     from s2m2_tpu.utils.calib import read_middlebury_calib
     from s2m2_tpu.utils.image import read_images
-    from s2m2_tpu.utils.pointcloud import get_pointcloud, save_ply, \
-        show_pointcloud
+    from s2m2_tpu.utils.pointcloud import get_pointcloud, save_html_viewer, \
+        save_ply, show_pointcloud
 
     calib = read_middlebury_calib(os.path.join(args.data_dir, "calib.txt"))
     left, right = read_images(os.path.join(args.data_dir, "im0.png"),
@@ -45,6 +48,9 @@ def main():
                                intrinsic_scale=0.5 / args.downscale)
     save_ply(args.out, pts, cols)
     print(f"saved {len(pts)} points -> {args.out}")
+    if args.html:
+        save_html_viewer(args.html, pts, cols)
+        print(f"interactive viewer -> {args.html}")
     if args.show:
         show_pointcloud(pts, cols)
 

@@ -98,11 +98,33 @@ def dot_1x1() -> bool:
     return layers._DOT_1X1
 
 
-def _quantizable(w_shape_in, cout) -> bool:
+# Alignment-aware site policy ("int8a" engine precision): quantize only GEMMs
+# whose channel counts are multiples of the 128 TPU lanes. Motivation (measured,
+# round 3): whole-model int8 LOSES on M (C=192 — the int8 (32,128) MXU tiles
+# waste more on the padded channel dim than the 2x peak recovers: 4.48 vs 5.46
+# FPS bf16 @1216x1024) while its 2C=384 GEMMs tile perfectly. Per-site
+# selection keeps the aligned wins without the misaligned losses.
+_ALIGNED_ONLY = __import__("os").environ.get("S2M2_INT8_ALIGNED", "0") == "1"
+
+
+def set_int8_aligned(enabled: bool):
+    """Restrict int8 to 128-lane-aligned GEMMs. Must not change between
+    calibration and inference (site count)."""
+    global _ALIGNED_ONLY
+    _ALIGNED_ONLY = bool(enabled)
+
+
+def _quantizable(w_shape_in, cout, cin=None) -> bool:
     """Quantize only GEMMs with enough input reduction depth to average out
     quantization noise and wide-enough outputs that per-channel weight scales
-    don't gate a precision-critical scalar head."""
-    return w_shape_in >= 16 and cout >= 8
+    don't gate a precision-critical scalar head. Under the aligned-only
+    policy, additionally require 128-lane-aligned channel counts."""
+    if not (w_shape_in >= 16 and cout >= 8):
+        return False
+    if _ALIGNED_ONLY:
+        c_in = w_shape_in if cin is None else cin
+        return c_in % 128 == 0 and cout % 128 == 0
+    return True
 
 
 def _record_amax(x):
@@ -189,7 +211,7 @@ def conv2d_maybe_quantized(x, p, strides, padding, dn):
     kh, kw, cin, cout = w.shape
     prequant = "w_scale" in p
     shared = isinstance(x, SharedQuantInput)
-    if s.mode is None or not (prequant or _quantizable(kh * kw * cin, cout)):
+    if s.mode is None or not (prequant or _quantizable(kh * kw * cin, cout, cin)):
         return None
     if s.mode == "observe":
         if not shared:
@@ -273,7 +295,7 @@ def linear_maybe_quantized(x, p):
     cin, cout = w.shape
     prequant = "w_scale" in p
     shared = isinstance(x, SharedQuantInput)
-    if s.mode is None or not (prequant or _quantizable(cin, cout)):
+    if s.mode is None or not (prequant or _quantizable(cin, cout, cin)):
         return None
     if s.mode == "observe":
         if not shared:
@@ -321,12 +343,12 @@ def quantize_params_tree(params):
                             for p in _REPACKED_PATHS)):
             if w.ndim == 4:
                 kh, kw, cin, cout = w.shape
-                if _quantizable(kh * kw * cin, cout):
+                if _quantizable(kh * kw * cin, cout, cin):
                     w_q, s_w = _quantize_weight(w, (0, 1, 2))
                     new["weight"], new["w_scale"] = w_q, s_w
             elif w.ndim == 2:
                 cin, cout = w.shape
-                if _quantizable(cin, cout):
+                if _quantizable(cin, cout, cin):
                     w_q, s_w = _quantize_weight(w, (0,))
                     new["weight"], new["w_scale"] = w_q, s_w
         return new

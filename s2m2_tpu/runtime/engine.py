@@ -47,11 +47,16 @@ class StereoEngine:
             self.cfg = get_config(model_type_or_cfg,
                                   use_positivity=use_positivity,
                                   refine_iter=refine_iter)
-        self.quantize = precision == "int8"
+        self.quantize = precision in ("int8", "int8a")
+        if precision == "int8a":
+            # alignment-aware site policy: int8 only on 128-lane-aligned
+            # GEMMs (process-global; see quant.set_int8_aligned)
+            quant.set_int8_aligned(True)
         if isinstance(precision, str):
             # int8 = bf16 engine whose qualifying GEMMs run on the int8 MXU
             # path with calibrated static scales (models/quant.py)
-            precision = (Precision.bf16() if precision in ("bf16", "int8")
+            precision = (Precision.bf16()
+                         if precision in ("bf16", "int8", "int8a")
                          else Precision.fp32())
         self.precision = precision
         self.compute_dtype = precision.compute_dtype

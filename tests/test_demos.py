@@ -65,10 +65,14 @@ def test_middlebury_demo(tmp_path, monkeypatch, tiny_engine_factory):
                 'cam1=[400 0 48; 0 400 32; 0 0 1]\n'
                 'doffs=0\nbaseline=100\nwidth=96\nheight=64\nndisp=64\n')
     out = os.path.join(d, "cloud.ply")
+    html = os.path.join(d, "cloud.html")
     _run_demo("visualize_3d_middlebury.py",
               ["--data_dir", d, "--model_type", "S", "--precision", "fp32",
-               "--out", out], monkeypatch, tiny_engine_factory)
+               "--out", out, "--html", html], monkeypatch, tiny_engine_factory)
     assert os.path.exists(out)
+    # the interactive WebGL viewer is written alongside the PLY
+    page = open(html).read()
+    assert "webgl" in page and "points" in page
 
 
 def test_2d_demo(tmp_path, monkeypatch, tiny_engine_factory):

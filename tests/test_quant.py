@@ -200,6 +200,49 @@ def test_int8_drift_on_golden(fixture, bound):
     assert epe < bound, f"int8 EPE vs reference fp32 {epe} (bound {bound})"
 
 
+def test_aligned_only_policy(rng):
+    """int8a: only 128-lane-aligned GEMMs quantize (engine precision
+    'int8a'); site counts shrink accordingly and the forward stays finite.
+    Motivated by the measured M-variant loss (C=192 misaligned: 4.48 int8
+    vs 5.46 bf16 FPS @1216x1024) — the aligned policy keeps M's 2C=384
+    GEMMs on the int8 MXU without the misaligned C=192 sites."""
+    from s2m2_tpu.config import ModelConfig
+    from s2m2_tpu.models.init import init_params
+    from s2m2_tpu.models.s2m2 import forward
+
+    # C=192-geometry (M-like) at tiny spatial size
+    cfg = ModelConfig(feature_channels=192, num_transformer=1, refine_iter=1)
+    params = init_params(cfg, seed=0)
+    img = jnp.asarray(rng.uniform(0, 255, (1, 64, 96, 3)), jnp.float32)
+
+    def n_sites():
+        def obs(p, a, b):
+            with quant.observe() as o:
+                out = forward(p, a, b, cfg)
+            return out, (jnp.stack(o) if o else jnp.zeros((0,)))
+        return jax.eval_shape(obs, params, img, img)[1].shape[0]
+
+    n_all = n_sites()
+    quant.set_int8_aligned(True)
+    try:
+        n_aligned = n_sites()
+        assert 0 < n_aligned < n_all  # 2C=384 sites stay, C=192 sites drop
+        # aligned pre-quantization leaves misaligned weights float
+        qp = quant.quantize_params_tree(params)
+        q_attn = qp["transformer"]["uformer_list"]["0"]["enc_attn0"][
+            "self_attn"]["attn"]["q"]
+        assert q_attn["weight"].dtype != jnp.int8  # C=192 misaligned
+        with quant.observe() as obs:
+            forward(params, img, img, cfg)
+        scales = tuple(float(o) / 127.0 for o in obs)
+        assert len(scales) == n_aligned
+        with quant.quantized(scales):
+            d = forward(qp, img, img, cfg)[0]
+        assert np.isfinite(np.asarray(d)).all()
+    finally:
+        quant.set_int8_aligned(False)
+
+
 def test_quantize_params_tree_structure(rng):
     """Offline weight pre-quantization: qualifying weights become int8 with
     per-output-channel scales; repacked subtrees and small heads stay float,

@@ -120,6 +120,44 @@ def test_depth_and_pointcloud(tmp_path):
     assert ply.read_text().startswith("ply")
 
 
+def test_html_viewer_roundtrip(tmp_path, rng):
+    """save_html_viewer embeds the (possibly subsampled) cloud base64-exact
+    and the page's projection matrix math is mirrored here: the cloud
+    centroid must project to the NDC center with positive clip w."""
+    import base64
+    import re
+
+    from s2m2_tpu.utils.pointcloud import save_html_viewer
+
+    pts = rng.standard_normal((5000, 3)).astype(np.float32)
+    cols = rng.uniform(0, 1, (5000, 3)).astype(np.float32)
+    path = tmp_path / "cloud.html"
+    save_html_viewer(str(path), pts, cols, max_points=1000)
+    html = path.read_text()
+    b64 = re.search(r'atob\("([^"]*)"\), c => c\.charCodeAt', html).group(1)
+    got = np.frombuffer(base64.b64decode(b64), np.float32).reshape(-1, 3)
+    assert len(got) == 1000  # subsampled
+    idx = np.linspace(0, len(pts) - 1, 1000).astype(np.int64)
+    np.testing.assert_array_equal(got, pts[idx])
+    assert "1000 points" in html and "webgl" in html
+
+    # mirror of the page's mat(): R orthonormal, centroid -> NDC center
+    ctr = (got.min(0) + got.max(0)) / 2
+    rad = max(got.max(0) - got.min(0)) / 2
+    yaw, pitch, dist = 0.5, -0.4, 2.5 * rad
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    R = np.array([[cy, 0, -sy], [sy * sp, cp, cy * sp], [sy * cp, -sp, cy * cp]])
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
+    v = R @ ctr - R @ ctr + np.array([0.0, 0.0, -dist])
+    assert v[2] < 0  # in front of the camera (negative view z)
+    near, far = rad / 100, rad * 100
+    zz, zw = (far + near) / (near - far), 2 * far * near / (near - far)
+    ndc = np.array([1.5 * v[0], 1.5 * v[1], zz * v[2] + zw]) / -v[2]
+    np.testing.assert_allclose(ndc[:2], 0, atol=1e-6)
+    assert -1 <= ndc[2] <= 1
+
+
 def test_image_pad_blurred_fill(rng):
     img = rng.uniform(0, 255, (1, 100, 130, 3)).astype(np.float32)
     pad = image_pad(img, 32)

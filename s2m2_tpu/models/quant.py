@@ -52,6 +52,7 @@ def _ctx():
         _state.scales = None
         _state.cursor = 0
         _state.observed = None
+        _state.aligned = False
     return _state
 
 
@@ -60,28 +61,33 @@ def active() -> bool:
 
 
 @contextlib.contextmanager
-def observe():
+def observe(aligned=None):
     """Collect per-site amax tracers during a forward trace.
 
     Yields the list the layers append to; jit the wrapped forward so it
-    returns `jnp.stack(collected)` alongside its outputs.
+    returns `jnp.stack(collected)` alongside its outputs. `aligned` selects
+    the 128-lane-aligned-only site policy for this trace (None = the
+    module default set by S2M2_INT8_ALIGNED / set_int8_aligned).
     """
     s = _ctx()
-    prev = (s.mode, s.observed)
+    prev = (s.mode, s.observed, s.aligned)
     s.mode, s.observed = "observe", []
+    s.aligned = _ALIGNED_ONLY if aligned is None else bool(aligned)
     try:
         yield s.observed
     finally:
-        s.mode, s.observed = prev
+        s.mode, s.observed, s.aligned = prev
 
 
 @contextlib.contextmanager
-def quantized(scales):
+def quantized(scales, aligned=None):
     """Run a forward with static per-site activation scales (trace-order
-    matched to the `observe()` pass that produced them)."""
+    matched to the `observe()` pass that produced them — including the same
+    `aligned` site policy)."""
     s = _ctx()
-    prev = (s.mode, s.scales, s.cursor)
+    prev = (s.mode, s.scales, s.cursor, s.aligned)
     s.mode, s.scales, s.cursor = "quantize", [float(v) for v in scales], 0
+    s.aligned = _ALIGNED_ONLY if aligned is None else bool(aligned)
     try:
         yield
         if s.cursor != len(s.scales):
@@ -89,7 +95,7 @@ def quantized(scales):
                 f"quantized(): consumed {s.cursor} scales but calibration "
                 f"recorded {len(s.scales)} sites — forward paths diverged")
     finally:
-        s.mode, s.scales, s.cursor = prev
+        s.mode, s.scales, s.cursor, s.aligned = prev
 
 
 def dot_1x1() -> bool:
@@ -114,14 +120,17 @@ def set_int8_aligned(enabled: bool):
     _ALIGNED_ONLY = bool(enabled)
 
 
-def _quantizable(w_shape_in, cout, cin=None) -> bool:
+def _quantizable(w_shape_in, cout, cin=None, aligned=None) -> bool:
     """Quantize only GEMMs with enough input reduction depth to average out
     quantization noise and wide-enough outputs that per-channel weight scales
     don't gate a precision-critical scalar head. Under the aligned-only
     policy, additionally require 128-lane-aligned channel counts."""
     if not (w_shape_in >= 16 and cout >= 8):
         return False
-    if _ALIGNED_ONLY:
+    if aligned is None:
+        s = _ctx()
+        aligned = s.aligned if s.mode is not None else _ALIGNED_ONLY
+    if aligned:
         c_in = w_shape_in if cin is None else cin
         return c_in % 128 == 0 and cout % 128 == 0
     return True
@@ -325,13 +334,14 @@ _REPACKED_PATHS = (
 )
 
 
-def quantize_params_tree(params):
+def quantize_params_tree(params, aligned=None):
     """Offline per-output-channel int8 weight quantization of a params
     pytree: qualifying 'weight' leaves become int8 and gain a fp32
     'w_scale' sibling; everything else (biases, norms, small heads,
     runtime-repacked subtrees) is untouched. The engine applies this once
     after calibration — int8 weights halve parameter HBM residency and
-    remove the per-frame weight-requantization pass."""
+    remove the per-frame weight-requantization pass. `aligned` must match
+    the policy the engine traces with (None = module default)."""
     def walk(node, path):
         if not isinstance(node, dict):
             return node
@@ -343,12 +353,12 @@ def quantize_params_tree(params):
                             for p in _REPACKED_PATHS)):
             if w.ndim == 4:
                 kh, kw, cin, cout = w.shape
-                if _quantizable(kh * kw * cin, cout, cin):
+                if _quantizable(kh * kw * cin, cout, cin, aligned):
                     w_q, s_w = _quantize_weight(w, (0, 1, 2))
                     new["weight"], new["w_scale"] = w_q, s_w
             elif w.ndim == 2:
                 cin, cout = w.shape
-                if _quantizable(cin, cout, cin):
+                if _quantizable(cin, cout, cin, aligned):
                     w_q, s_w = _quantize_weight(w, (0,))
                     new["weight"], new["w_scale"] = w_q, s_w
         return new

@@ -48,10 +48,10 @@ class StereoEngine:
                                   use_positivity=use_positivity,
                                   refine_iter=refine_iter)
         self.quantize = precision in ("int8", "int8a")
-        if precision == "int8a":
-            # alignment-aware site policy: int8 only on 128-lane-aligned
-            # GEMMs (process-global; see quant.set_int8_aligned)
-            quant.set_int8_aligned(True)
+        # int8a: alignment-aware site policy — int8 only on 128-lane-aligned
+        # GEMMs. Carried per-engine and passed into every quant context, so
+        # int8 and int8a engines coexist in one process.
+        self.quant_aligned = precision == "int8a"
         if isinstance(precision, str):
             # int8 = bf16 engine whose qualifying GEMMs run on the int8 MXU
             # path with calibrated static scales (models/quant.py)
@@ -110,9 +110,10 @@ class StereoEngine:
                                "calibrate() (run()/benchmark() do it "
                                "automatically on their first input)")
         scales = tuple(float(s) for s in self.quant_scales)
+        aligned = self.quant_aligned
 
         def fwd_q(*args):
-            with quant.quantized(scales):
+            with quant.quantized(scales, aligned=aligned):
                 return fwd(*args)
 
         return fwd_q
@@ -124,9 +125,10 @@ class StereoEngine:
         resolution is fine (and avoids a second full-size remote compile).
         """
         cfg = self.cfg
+        aligned = self.quant_aligned
 
         def observer(params, a, b):
-            with quant.observe() as obs:
+            with quant.observe(aligned=aligned) as obs:
                 out = forward(params, a, b, cfg)
             return out, jnp.stack(obs)
 
@@ -140,7 +142,8 @@ class StereoEngine:
         self.quant_scales = amax / 127.0
         # pre-quantize weights once (int8 resident in HBM — no per-frame
         # requantization pass over the parameter tree), rebuild programs
-        self._run_params = quant.quantize_params_tree(self.params)
+        self._run_params = quant.quantize_params_tree(
+            self.params, aligned=self.quant_aligned)
         self.__dict__.pop("_jitted", None)
         self.__dict__.pop("_chained", None)
         return self.quant_scales
@@ -157,7 +160,8 @@ class StereoEngine:
         path (site count is validated at trace time)."""
         scales = np.load(path)
         self.quant_scales = np.asarray(scales, np.float32)
-        self._run_params = quant.quantize_params_tree(self.params)
+        self._run_params = quant.quantize_params_tree(
+            self.params, aligned=self.quant_aligned)
         self.__dict__.pop("_jitted", None)
         self.__dict__.pop("_chained", None)
         return self.quant_scales

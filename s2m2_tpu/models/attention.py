@@ -202,9 +202,69 @@ def cross_attn(p, x, y, num_heads):
 # NCHW and permutes per block — we are channel-last throughout).
 # ---------------------------------------------------------------------------
 
+# Keep scanline attention on the 4D block shape (rows as a dot batch dim,
+# no (2B,H,W,C)<->(2B*H,W,C) fold reshapes) for heads==1 blocks. The fold
+# forces relayout copies at the block boundaries (the (B,H,W,C) layouts XLA
+# assigns are not fold-bitcastable: in the XL MRT census the fold family is
+# ~3.6 GB of {2,0,1}/{3,0,2,1} buffers that vanish in the 4D form, total
+# cost analysis -0.8 GB with the z0 stream settling on one row-major
+# layout). Measured on v5e XL@1216x1024 int8: 3.141 vs 3.086 FPS same-day
+# (+1.8%; best recorded for the row) — DEFAULT ON. S2M2_ATTN_4D=0 restores
+# the fold path (heads>1 blocks always use it).
+_ATTN_4D = _os.environ.get("S2M2_ATTN_4D", "1") == "1"
+
+
+def set_attn_4d(enabled: bool):
+    global _ATTN_4D
+    _ATTN_4D = bool(enabled)
+
+
+def _self_attn_4d(p, zn, z):
+    """heads==1 scanline self attention directly on (B, H, W, C): H rides as
+    a dot batch dim; zero reshapes. zn is the pre-normed input, z the
+    residual."""
+    from . import quant as _q
+    zn = _q.share_gemm_input(zn) if _q.active() else zn
+    q = layers.linear(p["q"], zn)
+    k = layers.linear(p["k"], zn)
+    v = layers.linear(p["v"], zn)
+    scale = q.shape[-1] ** -0.5
+    score = jnp.einsum("bhic,bhjc->bhij", q * scale, k,
+                       preferred_element_type=_score_dtype(v.dtype))
+    attn = _softmax_scores(score, v.dtype)
+    out = jnp.einsum("bhij,bhjc->bhic", attn, v,
+                     preferred_element_type=v.dtype)
+    return layers.linear(p["proj"], out) + z
+
+
+def _cross_attn_4d(p, zn, z):
+    """heads==1 scanline cross-view attention on (2B, H, W, C) (left half
+    first on the batch axis): the view swap is two half-batch slices."""
+    from . import quant as _q
+    zn = _q.share_gemm_input(zn) if _q.active() else zn
+    q = layers.linear(p["q"], zn)
+    k = layers.linear(p["k"], zn)
+    v = layers.linear(p["v"], zn)
+    b0 = q.shape[0] // 2
+    scale = q.shape[-1] ** -0.5
+
+    def att(qq, kk, vv):
+        score = jnp.einsum("bhic,bhjc->bhij", qq * scale, kk,
+                           preferred_element_type=_score_dtype(vv.dtype))
+        attn = _softmax_scores(score, vv.dtype)
+        return jnp.einsum("bhij,bhjc->bhic", attn, vv,
+                          preferred_element_type=vv.dtype)
+
+    out = jnp.concatenate([att(q[:b0], k[b0:], v[b0:]),
+                           att(q[b0:], k[:b0], v[:b0])], axis=0)
+    return layers.linear(p["proj"], out) + z
+
+
 def self_attn_block_1d(p, z, num_heads):
     """Scanline self attention: rows fold into batch (reference: 99-128)."""
     b, h, w, c = z.shape
+    if _ATTN_4D and num_heads == 1:
+        return _self_attn_4d(p["attn"], layers.layer_norm(z), z)
     zf = z.reshape(b * h, w, c)
     out = self_attn(p["attn"], layers.layer_norm(zf), num_heads) + zf
     return out.reshape(b, h, w, c)
@@ -218,6 +278,8 @@ def cross_attn_block_1d(p, z, num_heads):
     first half of the folded batch, so the already-packed fold feeds
     cross_attn_packed directly (no intermediate slice/concat round trip)."""
     b2, h, w, c = z.shape
+    if _ATTN_4D and num_heads == 1:
+        return _cross_attn_4d(p["attn"], layers.layer_norm(z), z)
     zf = layers.layer_norm(z).reshape(b2 * h, w, c)
     out = cross_attn_packed(p["attn"], zf, b2 * h // 2, num_heads)
     return out.reshape(b2, h, w, c) + z

@@ -151,3 +151,27 @@ def test_scanline_block_shapes(rng):
     assert out.shape == z.shape
     out = attention.self_attn_block_1d(p, jnp.asarray(z), 2)
     assert out.shape == z.shape
+
+
+def test_scanline_block_4d_matches_fold(rng):
+    """S2M2_ATTN_4D keeps heads==1 scanline attention on the (B,H,W,C)
+    block shape (rows as a dot batch dim) — same floats as the fold path."""
+    B, H, W, C = 2, 5, 12, 16
+    z = rng.standard_normal((2 * B, H, W, C), dtype=np.float32)
+    p = {"attn": {
+        "q": _linear_params(rng, C, C, False)[0],
+        "k": _linear_params(rng, C, C, False)[0],
+        "v": _linear_params(rng, C, C, True)[0],
+        "proj": _linear_params(rng, C, C, False)[0]}}
+    ref_cross = attention.cross_attn_block_1d(p, jnp.asarray(z), 1)
+    ref_self = attention.self_attn_block_1d(p, jnp.asarray(z), 1)
+    attention.set_attn_4d(True)
+    try:
+        got_cross = attention.cross_attn_block_1d(p, jnp.asarray(z), 1)
+        got_self = attention.self_attn_block_1d(p, jnp.asarray(z), 1)
+    finally:
+        attention.set_attn_4d(False)
+    np.testing.assert_allclose(np.asarray(got_cross), np.asarray(ref_cross),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_self), np.asarray(ref_self),
+                               atol=1e-5)

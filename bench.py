@@ -26,8 +26,9 @@ BASELINE_FPS = {  # TensorRT fp16 on RTX 5090 (reference README.md:63-122)
 
 # Measured-best deployment precision per variant on v5e at 1216x1024
 # (README table): compute-bound wide variants win with the int8 MXU path
-# (XL 3.067 int8 vs 2.652 bf16; L 4.65 vs 4.28); the bandwidth-bound S
-# loses (9.84 vs 10.3) and M's C=192 tiles poorly for int8 (4.48 vs 5.46).
+# (XL 3.141 int8 vs 2.652 bf16; L 4.65 vs 4.28); the bandwidth-bound S
+# loses (9.84 vs 10.38) and M's C=192 tiles poorly for int8 (4.48 vs
+# 5.46; the aligned-only int8a recovers parity at 5.448 but no win).
 # All int8 rows are drift-bounded (tests/test_quant.py).
 BEST_PRECISION = {"S": "bf16", "M": "bf16", "L": "int8", "XL": "int8"}
 

@@ -263,7 +263,8 @@ def _cross_attn_4d(p, zn, z):
 def self_attn_block_1d(p, z, num_heads):
     """Scanline self attention: rows fold into batch (reference: 99-128)."""
     b, h, w, c = z.shape
-    if _ATTN_4D and num_heads == 1:
+    # Pallas opt-ins need the folded (B*H, W, C) form — keep them reachable
+    if _ATTN_4D and num_heads == 1 and not _USE_PALLAS_SELF:
         return _self_attn_4d(p["attn"], layers.layer_norm(z), z)
     zf = z.reshape(b * h, w, c)
     out = self_attn(p["attn"], layers.layer_norm(zf), num_heads) + zf
@@ -278,7 +279,8 @@ def cross_attn_block_1d(p, z, num_heads):
     first half of the folded batch, so the already-packed fold feeds
     cross_attn_packed directly (no intermediate slice/concat round trip)."""
     b2, h, w, c = z.shape
-    if _ATTN_4D and num_heads == 1:
+    # Pallas opt-ins need the folded (B*H, W, C) form — keep them reachable
+    if _ATTN_4D and num_heads == 1 and not _USE_PALLAS_CROSS:
         return _cross_attn_4d(p["attn"], layers.layer_norm(z), z)
     zf = layers.layer_norm(z).reshape(b2 * h, w, c)
     out = cross_attn_packed(p["attn"], zf, b2 * h // 2, num_heads)

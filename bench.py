@@ -26,7 +26,7 @@ BASELINE_FPS = {  # TensorRT fp16 on RTX 5090 (reference README.md:63-122)
 
 # Measured-best deployment precision per variant on v5e at 1216x1024
 # (README table): compute-bound wide variants win with the int8 MXU path
-# (XL 3.141 int8 vs 2.652 bf16; L 4.65 vs 4.28); the bandwidth-bound S
+# (XL 3.141 int8 vs 2.652 bf16; L 4.708 vs 4.281); the bandwidth-bound S
 # loses (9.84 vs 10.38) and M's C=192 tiles poorly for int8 (4.48 vs
 # 5.46; the aligned-only int8a recovers parity at 5.448 but no win).
 # All int8 rows are drift-bounded (tests/test_quant.py).
@@ -40,7 +40,7 @@ def main():
     ap.add_argument("--height", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--precision", default="best",
-                    choices=["best", "bf16", "fp32", "int8", "int8a"])
+                    choices=["best", "bf16", "fp32", "int8", "int8a", "int8r"])
     ap.add_argument("--batch", type=int, default=1)
     args = ap.parse_args()
 

@@ -20,7 +20,7 @@ def main():
     ap.add_argument("--method", default="cem", choices=["cem", "gd", "kp"])
     ap.add_argument("--model_type", default="S", choices=["S", "M", "L", "XL"])
     ap.add_argument("--checkpoint", default=None)
-    ap.add_argument("--precision", default="bf16", choices=["bf16", "fp32", "int8", "int8a"])
+    ap.add_argument("--precision", default="bf16", choices=["bf16", "fp32", "int8", "int8a", "int8r"])
     args = ap.parse_args()
 
     from s2m2_tpu.calibration.cem import cem_calibration

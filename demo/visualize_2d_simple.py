@@ -22,7 +22,7 @@ def main():
                     help=".npz converted checkpoint (tools/convert_checkpoint)")
     ap.add_argument("--num_refine", type=int, default=3)
     ap.add_argument("--allow_negative", action="store_true")
-    ap.add_argument("--precision", default="bf16", choices=["bf16", "fp32", "int8", "int8a"])
+    ap.add_argument("--precision", default="bf16", choices=["bf16", "fp32", "int8", "int8a", "int8r"])
     ap.add_argument("--downscale", type=int, default=1)
     ap.add_argument("--n_repeat", type=int, default=5)
     ap.add_argument("--out", default="result_2d.png")

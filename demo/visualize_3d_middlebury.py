@@ -15,7 +15,7 @@ def main():
     ap.add_argument("--model_type", default="L", choices=["S", "M", "L", "XL"])
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--num_refine", type=int, default=3)
-    ap.add_argument("--precision", default="bf16", choices=["bf16", "fp32", "int8", "int8a"])
+    ap.add_argument("--precision", default="bf16", choices=["bf16", "fp32", "int8", "int8a", "int8r"])
     ap.add_argument("--downscale", type=int, default=1)
     ap.add_argument("--out", default="middlebury_cloud.ply")
     ap.add_argument("--html", default=None,

@@ -222,69 +222,71 @@ def set_attn_4d(enabled: bool):
 def _self_attn_4d(p, zn, z):
     """heads==1 scanline self attention directly on (B, H, W, C): H rides as
     a dot batch dim; zero reshapes. zn is the pre-normed input, z the
-    residual."""
+    residual. The attention core is sdpa() — shape-generic over (b,h,n,d),
+    so the (B,H,W,C) block rides through unchanged and the S2M2_INT8_ATTN
+    opt-in applies on this path too (the Pallas opt-ins never reach here:
+    the callers guard on not _USE_PALLAS_*)."""
     from . import quant as _q
     zn = _q.share_gemm_input(zn) if _q.active() else zn
     q = layers.linear(p["q"], zn)
     k = layers.linear(p["k"], zn)
     v = layers.linear(p["v"], zn)
-    scale = q.shape[-1] ** -0.5
-    score = jnp.einsum("bhic,bhjc->bhij", q * scale, k,
-                       preferred_element_type=_score_dtype(v.dtype))
-    attn = _softmax_scores(score, v.dtype)
-    out = jnp.einsum("bhij,bhjc->bhic", attn, v,
-                     preferred_element_type=v.dtype)
-    return layers.linear(p["proj"], out) + z
+    return layers.linear(p["proj"], sdpa(q, k, v)) + z
 
 
 def _cross_attn_4d(p, zn, z):
     """heads==1 scanline cross-view attention on (2B, H, W, C) (left half
-    first on the batch axis): the view swap is two half-batch slices."""
+    first on the batch axis): the view swap is two half-batch slices; each
+    direction is one sdpa() call on the 4D block shape."""
     from . import quant as _q
     zn = _q.share_gemm_input(zn) if _q.active() else zn
     q = layers.linear(p["q"], zn)
     k = layers.linear(p["k"], zn)
     v = layers.linear(p["v"], zn)
     b0 = q.shape[0] // 2
-    scale = q.shape[-1] ** -0.5
-
-    def att(qq, kk, vv):
-        score = jnp.einsum("bhic,bhjc->bhij", qq * scale, kk,
-                           preferred_element_type=_score_dtype(vv.dtype))
-        attn = _softmax_scores(score, vv.dtype)
-        return jnp.einsum("bhij,bhjc->bhic", attn, vv,
-                          preferred_element_type=vv.dtype)
-
-    out = jnp.concatenate([att(q[:b0], k[b0:], v[b0:]),
-                           att(q[b0:], k[:b0], v[:b0])], axis=0)
+    out = jnp.concatenate([sdpa(q[:b0], k[b0:], v[b0:]),
+                           sdpa(q[b0:], k[:b0], v[:b0])], axis=0)
     return layers.linear(p["proj"], out) + z
 
 
-def self_attn_block_1d(p, z, num_heads):
-    """Scanline self attention: rows fold into batch (reference: 99-128)."""
+def self_attn_block_1d(p, z, num_heads, store=False):
+    """Scanline self attention: rows fold into batch (reference: 99-128).
+
+    z may be a quant.ResidualInt8 (int8-resident carry from the previous
+    sublayer under the int8r residency policy); store=True re-quantizes the
+    output carry (basic_attn_block sets it for all but the exit sublayer)."""
+    from . import quant as _q
+    z = _q.residual_load(z)
     b, h, w, c = z.shape
     # Pallas opt-ins need the folded (B*H, W, C) form — keep them reachable
     if _ATTN_4D and num_heads == 1 and not _USE_PALLAS_SELF:
-        return _self_attn_4d(p["attn"], layers.layer_norm(z), z)
-    zf = z.reshape(b * h, w, c)
-    out = self_attn(p["attn"], layers.layer_norm(zf), num_heads) + zf
-    return out.reshape(b, h, w, c)
+        out = _self_attn_4d(p["attn"], layers.layer_norm(z), z)
+    else:
+        zf = z.reshape(b * h, w, c)
+        out = (self_attn(p["attn"], layers.layer_norm(zf), num_heads)
+               + zf).reshape(b, h, w, c)
+    return _q.residual_store(out) if store else out
 
 
-def cross_attn_block_1d(p, z, num_heads):
+def cross_attn_block_1d(p, z, num_heads, store=False):
     """Scanline cross-view attention. z is (2B, H, W, C), left half then right
     half on the batch axis (reference: 131-161).
 
     Folding (2B, H, W, C) -> (2B*H, W, C) keeps the left view's rows in the
     first half of the folded batch, so the already-packed fold feeds
-    cross_attn_packed directly (no intermediate slice/concat round trip)."""
+    cross_attn_packed directly (no intermediate slice/concat round trip).
+    store/ResidualInt8 carry semantics as in self_attn_block_1d."""
+    from . import quant as _q
+    z = _q.residual_load(z)
     b2, h, w, c = z.shape
     # Pallas opt-ins need the folded (B*H, W, C) form — keep them reachable
     if _ATTN_4D and num_heads == 1 and not _USE_PALLAS_CROSS:
-        return _cross_attn_4d(p["attn"], layers.layer_norm(z), z)
-    zf = layers.layer_norm(z).reshape(b2 * h, w, c)
-    out = cross_attn_packed(p["attn"], zf, b2 * h // 2, num_heads)
-    return out.reshape(b2, h, w, c) + z
+        out = _cross_attn_4d(p["attn"], layers.layer_norm(z), z)
+    else:
+        zf = layers.layer_norm(z).reshape(b2 * h, w, c)
+        out = cross_attn_packed(p["attn"], zf, b2 * h // 2, num_heads)
+        out = out.reshape(b2, h, w, c) + z
+    return _q.residual_store(out) if store else out
 
 
 def self_attn_block_2d(p, z, num_heads, pe=None):
@@ -304,12 +306,18 @@ def cross_attn_block_2d(p, z, num_heads):
     return out.reshape(b2, h, w, c) + z
 
 
-def ffn(p, z):
-    """Pre-norm MLP block (reference: 229-250)."""
+def ffn(p, z, store=False):
+    """Pre-norm MLP block (reference: 229-250).
+
+    store/ResidualInt8 carry semantics as in self_attn_block_1d (the 2D
+    global blocks never pass store, so the bottleneck stream stays float)."""
+    from . import quant as _q
+    z = _q.residual_load(z)
     z_norm = layers.layer_norm(z)
     out = layers.linear(p["ffn"]["0"], z_norm)
     out = layers.linear(p["ffn"]["2"], layers.gelu(out))
-    return out + z
+    out = out + z
+    return _q.residual_store(out) if store else out
 
 
 def conv_block_2d(p, z):
@@ -336,9 +344,14 @@ def global_attn_block(p, z, num_heads, pe=None, use_cross_attn=False):
 
 
 def basic_attn_block(p, z, num_heads):
-    """Scanline cross + FFN + self + FFN (reference: 324-355)."""
-    z = cross_attn_block_1d(p["cross_attn"], z, num_heads)
-    z = ffn(p["ffn_c"], z)
-    z = self_attn_block_1d(p["self_attn"], z, num_heads)
+    """Scanline cross + FFN + self + FFN (reference: 324-355).
+
+    Under the int8r residency policy the three interior sublayer carries are
+    stored int8 (store=True -> quant.residual_store); the block enters and
+    exits on plain float tensors, so fusion/down/up junctions outside never
+    see a wrapper."""
+    z = cross_attn_block_1d(p["cross_attn"], z, num_heads, store=True)
+    z = ffn(p["ffn_c"], z, store=True)
+    z = self_attn_block_1d(p["self_attn"], z, num_heads, store=True)
     z = ffn(p["ffn"], z)
     return z

@@ -71,6 +71,12 @@ def conv2d(p, x, stride=1, padding=None):
     x = quant.unwrap(x)
     if "w_scale" in p:  # pre-quantized weights on a float path: dequantize
         w = w.astype(jnp.float32) * p["w_scale"]
+    if w.dtype == jnp.float32 and x.dtype == jnp.bfloat16:
+        # fp32-island conv: fp32 weights kept by the engine's cast policy
+        # (engine.cast_params FP32_HEAD_PATHS) force fp32 compute — bf16
+        # inputs are upcast rather than the weights rounded down. Output
+        # stays fp32 so downstream softmax/logit consumers skip a rounding.
+        x = x.astype(jnp.float32)
     if (_DOT_1X1 and kh == 1 and kw == 1 and s == (1, 1)
             and pad == [(0, 0), (0, 0)]):
         y = jnp.einsum("bhwc,co->bhwo", x, w[0, 0].astype(x.dtype),
@@ -94,6 +100,8 @@ def conv_transpose2d(p, x, stride=1, padding=0):
     """
     w = p["weight"]  # (kh, kw, I, O)
     kh, kw = w.shape[0], w.shape[1]
+    if w.dtype == jnp.float32 and x.dtype == jnp.bfloat16:
+        x = x.astype(jnp.float32)  # fp32-island rule (see conv2d)
     w_flip = w[::-1, ::-1]  # flip spatial taps
     s = (stride, stride) if isinstance(stride, int) else tuple(stride)
     pd = (padding, padding) if isinstance(padding, int) else tuple(padding)

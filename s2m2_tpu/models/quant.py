@@ -53,6 +53,9 @@ def _ctx():
         _state.cursor = 0
         _state.observed = None
         _state.aligned = False
+        _state.skip_fp32 = False
+        _state.residency = False
+        _state.percentile = None
     return _state
 
 
@@ -61,33 +64,45 @@ def active() -> bool:
 
 
 @contextlib.contextmanager
-def observe(aligned=None):
+def observe(aligned=None, skip_fp32=False, residency=False, percentile=None):
     """Collect per-site amax tracers during a forward trace.
 
     Yields the list the layers append to; jit the wrapped forward so it
     returns `jnp.stack(collected)` alongside its outputs. `aligned` selects
     the 128-lane-aligned-only site policy for this trace (None = the
     module default set by S2M2_INT8_ALIGNED / set_int8_aligned).
+    `skip_fp32` excludes GEMMs whose weights are float32 — the engine sets
+    it so its fp32-island heads (engine.FP32_HEAD_PATHS) stay out of the
+    int8 path; raw test contexts (all-fp32 params) leave it off.
+    `residency` additionally stores the MRT residual stream int8 in HBM
+    (see residual_store) — the "int8r" engine precision.
     """
     s = _ctx()
-    prev = (s.mode, s.observed, s.aligned)
+    prev = (s.mode, s.observed, s.aligned, s.skip_fp32, s.residency,
+            s.percentile)
     s.mode, s.observed = "observe", []
     s.aligned = _ALIGNED_ONLY if aligned is None else bool(aligned)
+    s.skip_fp32 = bool(skip_fp32)
+    s.residency = bool(residency)
+    s.percentile = None if percentile is None else float(percentile)
     try:
         yield s.observed
     finally:
-        s.mode, s.observed, s.aligned = prev
+        (s.mode, s.observed, s.aligned, s.skip_fp32, s.residency,
+         s.percentile) = prev
 
 
 @contextlib.contextmanager
-def quantized(scales, aligned=None):
+def quantized(scales, aligned=None, skip_fp32=False, residency=False):
     """Run a forward with static per-site activation scales (trace-order
     matched to the `observe()` pass that produced them — including the same
-    `aligned` site policy)."""
+    `aligned`/`skip_fp32`/`residency` site policies)."""
     s = _ctx()
-    prev = (s.mode, s.scales, s.cursor, s.aligned)
+    prev = (s.mode, s.scales, s.cursor, s.aligned, s.skip_fp32, s.residency)
     s.mode, s.scales, s.cursor = "quantize", [float(v) for v in scales], 0
     s.aligned = _ALIGNED_ONLY if aligned is None else bool(aligned)
+    s.skip_fp32 = bool(skip_fp32)
+    s.residency = bool(residency)
     try:
         yield
         if s.cursor != len(s.scales):
@@ -95,7 +110,8 @@ def quantized(scales, aligned=None):
                 f"quantized(): consumed {s.cursor} scales but calibration "
                 f"recorded {len(s.scales)} sites — forward paths diverged")
     finally:
-        s.mode, s.scales, s.cursor, s.aligned = prev
+        (s.mode, s.scales, s.cursor, s.aligned, s.skip_fp32,
+         s.residency) = prev
 
 
 def dot_1x1() -> bool:
@@ -137,8 +153,16 @@ def _quantizable(w_shape_in, cout, cin=None, aligned=None) -> bool:
 
 
 def _record_amax(x):
+    """Record a site's activation range statistic: plain amax, or an
+    outlier-robust percentile of |x| when the observe context sets one
+    (TRT's percentile calibrator analog — one extreme activation no longer
+    dictates the whole tensor's scale)."""
     s = _ctx()
-    s.observed.append(jnp.max(jnp.abs(x.astype(jnp.float32))))
+    ax = jnp.abs(x.astype(jnp.float32))
+    if s.percentile is not None:
+        s.observed.append(jnp.percentile(ax.reshape(-1), s.percentile))
+    else:
+        s.observed.append(jnp.max(ax))
 
 
 def _next_scale():
@@ -197,6 +221,48 @@ def unwrap(x):
     return x.x if isinstance(x, SharedQuantInput) else x
 
 
+class ResidualInt8:
+    """A residual-stream tensor stored int8 in HBM (+ per-tensor scale).
+
+    The "int8r" residency policy: the MRT z0 stream's sublayer carries — the
+    tensors the residual adds read and write ~12 times per BasicAttnBlock —
+    are the largest bf16 traffic left after GEMM-input quantization
+    (scripts/analyze_int8.py: residual/concat streams stay bf16 in plain
+    int8). Storing the carry int8 halves those passes; the dequant is a pure
+    elementwise op XLA fuses into the consumer (LayerNorm statistics or the
+    next residual add), so the bf16 form never round-trips HBM.
+    """
+    __slots__ = ("q", "scale", "dtype")
+
+    def __init__(self, q, scale, dtype):
+        self.q = q
+        self.scale = scale
+        self.dtype = dtype
+
+
+def residual_store(z):
+    """Mark a residual-stream tensor for int8 HBM residency (one calibration
+    site). Identity unless a quant context with residency=True is active.
+    In observe mode records the tensor's amax; in quantize mode returns a
+    ResidualInt8 the next sublayer dequantizes via residual_load."""
+    s = _ctx()
+    if s.mode is None or not s.residency:
+        return z
+    if s.mode == "observe":
+        _record_amax(z)
+        return z
+    s_x = _next_scale()
+    return ResidualInt8(_quantize_input(z, s_x), s_x, z.dtype)
+
+
+def residual_load(z):
+    """Dequantize a ResidualInt8 back to its float dtype (fused into the
+    consumer by XLA); identity on plain tensors."""
+    if isinstance(z, ResidualInt8):
+        return (z.q.astype(jnp.float32) * jnp.float32(z.scale)).astype(z.dtype)
+    return z
+
+
 def _quantize_weight(w, reduce_axes):
     """Per-output-channel symmetric int8: returns (w_q, s_w)."""
     wf = w.astype(jnp.float32)
@@ -222,6 +288,8 @@ def conv2d_maybe_quantized(x, p, strides, padding, dn):
     shared = isinstance(x, SharedQuantInput)
     if s.mode is None or not (prequant or _quantizable(kh * kw * cin, cout, cin)):
         return None
+    if s.skip_fp32 and not prequant and w.dtype == jnp.float32:
+        return None  # fp32-island head (engine cast policy) — stays float
     if s.mode == "observe":
         if not shared:
             _record_amax(x)
@@ -306,6 +374,8 @@ def linear_maybe_quantized(x, p):
     shared = isinstance(x, SharedQuantInput)
     if s.mode is None or not (prequant or _quantizable(cin, cout, cin)):
         return None
+    if s.skip_fp32 and not prequant and w.dtype == jnp.float32:
+        return None  # fp32-island head (engine cast policy) — stays float
     if s.mode == "observe":
         if not shared:
             _record_amax(x)
@@ -334,14 +404,15 @@ _REPACKED_PATHS = (
 )
 
 
-def quantize_params_tree(params, aligned=None):
+def quantize_params_tree(params, aligned=None, skip_fp32=False):
     """Offline per-output-channel int8 weight quantization of a params
     pytree: qualifying 'weight' leaves become int8 and gain a fp32
     'w_scale' sibling; everything else (biases, norms, small heads,
     runtime-repacked subtrees) is untouched. The engine applies this once
     after calibration — int8 weights halve parameter HBM residency and
-    remove the per-frame weight-requantization pass. `aligned` must match
-    the policy the engine traces with (None = module default)."""
+    remove the per-frame weight-requantization pass. `aligned` and
+    `skip_fp32` (leave float32 weight leaves alone — the engine's
+    fp32-island heads) must match the policy the engine traces with."""
     def walk(node, path):
         if not isinstance(node, dict):
             return node
@@ -349,6 +420,7 @@ def quantize_params_tree(params, aligned=None):
                for k, v in node.items()}
         w = new.get("weight")
         if (w is not None and not isinstance(w, dict)
+                and not (skip_fp32 and w.dtype == jnp.float32)
                 and not any(path == p or path.startswith(p + ".")
                             for p in _REPACKED_PATHS)):
             if w.ndim == 4:

@@ -68,7 +68,7 @@ def main(argv=None):
     ap.add_argument("--root", required=True)
     ap.add_argument("--model", default="S", choices=["S", "M", "L", "XL"])
     ap.add_argument("--checkpoint", default=None)
-    ap.add_argument("--precision", default="bf16", choices=["bf16", "fp32", "int8", "int8a"])
+    ap.add_argument("--precision", default="bf16", choices=["bf16", "fp32", "int8", "int8a", "int8r"])
     ap.add_argument("--num_refine", type=int, default=3)
     ap.add_argument("--downscale", type=int, default=1)
     ap.add_argument("--out", default=None, help="write JSON results here")

@@ -163,14 +163,20 @@ def test_scanline_block_4d_matches_fold(rng):
         "k": _linear_params(rng, C, C, False)[0],
         "v": _linear_params(rng, C, C, True)[0],
         "proj": _linear_params(rng, C, C, False)[0]}}
-    ref_cross = attention.cross_attn_block_1d(p, jnp.asarray(z), 1)
-    ref_self = attention.self_attn_block_1d(p, jnp.asarray(z), 1)
-    attention.set_attn_4d(True)
+    # _ATTN_4D defaults ON, so the references must be FORCED onto the fold
+    # path (and the prior value restored, not hardcoded, so the rest of the
+    # suite keeps running the shipped default) — otherwise this test compares
+    # the 4D path against itself.
+    saved = attention._ATTN_4D
     try:
+        attention.set_attn_4d(False)
+        ref_cross = attention.cross_attn_block_1d(p, jnp.asarray(z), 1)
+        ref_self = attention.self_attn_block_1d(p, jnp.asarray(z), 1)
+        attention.set_attn_4d(True)
         got_cross = attention.cross_attn_block_1d(p, jnp.asarray(z), 1)
         got_self = attention.self_attn_block_1d(p, jnp.asarray(z), 1)
     finally:
-        attention.set_attn_4d(False)
+        attention.set_attn_4d(saved)
     np.testing.assert_allclose(np.asarray(got_cross), np.asarray(ref_cross),
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_self), np.asarray(ref_self),

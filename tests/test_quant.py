@@ -149,23 +149,11 @@ def test_sdpa_quantized_close_to_fp32(rng):
     assert err.mean() < 0.03 * np.abs(np.asarray(ref)).mean() + 1e-3
 
 
-@pytest.mark.parametrize("fixture,bound", [
-    ("s2m2_c32_ntr1.npz", 0.02),
-    ("s2m2_c32_ntr1_neg_up.npz", 0.35),
-])
-def test_int8_drift_on_golden(fixture, bound):
-    """End-to-end int8 engine drift vs the fp32 golden reference.
-
-    Measured (attn internals ON): 0.0036 px on the positivity fixture
-    (bf16: 0.0031) and 0.236 px on the negative-disparity/output-upsample
-    fixture (bf16: 0.188 — the x8 output-scale weight-rounding noise
-    documented in test_bf16_drift_vs_fp32, plus int8's share)."""
+def _load_golden_for_drift(fixture):
+    """(cfg, policy-cast bf16 params, bf16 img0/img1, fp32 ref_disp)."""
     import os as _os
 
-    import jax
-
-    from s2m2_tpu.models import quant as q
-    from s2m2_tpu.models.s2m2 import forward as fwd
+    from s2m2_tpu.runtime.engine import cast_params, fp32_keep_paths
     from s2m2_tpu.tools.convert_checkpoint import nest as _nest
     from s2m2_tpu.config import ModelConfig
 
@@ -183,16 +171,40 @@ def test_int8_drift_on_golden(fixture, bound):
                       refine_iter=int(refine_iter),
                       use_positivity=bool(meta[3]) if len(meta) > 3 else True,
                       output_upsample=bool(meta[4]) if len(meta) > 4 else False)
-    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
-                          _nest({k: jnp.asarray(v) for k, v in data.items()}))
-    a = jnp.asarray(img0, jnp.bfloat16)
-    b = jnp.asarray(img1, jnp.bfloat16)
-    q.set_int8_attn(True)  # bound the OPT-IN attn path too (superset)
+    params = cast_params(_nest({k: jnp.asarray(v) for k, v in data.items()}),
+                         jnp.bfloat16, fp32_keep_paths(cfg))
+    return (cfg, params, jnp.asarray(img0, jnp.bfloat16),
+            jnp.asarray(img1, jnp.bfloat16), ref_disp)
+
+
+# Every bound is a small fraction of the 0.1 px EPE budget (BASELINE.md) on
+# EVERY config class — the round-3 neg/output-upsample excess (0.236 px) is
+# fixed by the engine's fp32-island policy (engine.fp32_keep_paths, measured
+# via scripts/probe_drift_fp32.py). Measured means: int8+attn 0.0028 px
+# (positivity) / 0.0502 px (neg+output-upsample); int8r (residual residency)
+# 0.0044 / 0.0678.
+@pytest.mark.parametrize("fixture,residency,bound", [
+    ("s2m2_c32_ntr1.npz", False, 0.01),
+    ("s2m2_c32_ntr1_neg_up.npz", False, 0.08),
+    ("s2m2_c32_ntr1.npz", True, 0.015),
+    ("s2m2_c32_ntr1_neg_up.npz", True, 0.09),
+])
+def test_int8_drift_on_golden(fixture, residency, bound):
+    """End-to-end int8/int8r engine drift vs the fp32 golden reference,
+    under the production fp32-island cast policy (engine.fp32_keep_paths)
+    and skip_fp32 site policy — exactly what StereoEngine traces."""
+    from s2m2_tpu.models import quant as q
+    from s2m2_tpu.models.s2m2 import forward as fwd
+
+    cfg, params, a, b, ref_disp = _load_golden_for_drift(fixture)
+    # bound the OPT-IN attn path too (superset) on plain int8; int8r uses
+    # the shipped default (attn off) so the residency path is bounded as-is
+    q.set_int8_attn(not residency)
     try:
-        with q.observe() as obs:
+        with q.observe(skip_fp32=True, residency=residency) as obs:
             fwd(params, a, b, cfg)
         scales = tuple(float(o) / 127.0 for o in obs)
-        with q.quantized(scales):
+        with q.quantized(scales, skip_fp32=True, residency=residency):
             disp8, _, _ = fwd(params, a, b, cfg)
     finally:
         q.set_int8_attn(False)  # restore the measured default (off)
@@ -301,3 +313,126 @@ def test_calibration_cache_roundtrip(tmp_path, rng, monkeypatch):
     assert len(scales) > 50 and eng.quant_scales is not None
     d = eng.run(left.astype(np.float32), left.astype(np.float32))[0]
     assert np.isfinite(d).all()
+
+
+def test_residual_residency_roundtrip(rng):
+    """quant.residual_store/load: identity outside a residency context;
+    int8 wrapper + dequant inside one, within the per-tensor step size."""
+    x = jnp.asarray(rng.standard_normal((2, 6, 8, 16)), jnp.float32)
+    # no context: identity
+    assert quant.residual_store(x) is x
+    assert quant.residual_load(x) is x
+    # residency off inside a plain quant context: still identity
+    with quant.observe() as obs:
+        assert quant.residual_store(x) is x
+    assert len(obs) == 0
+    # residency on: observe records one site; quantize wraps + dequantizes
+    with quant.observe(residency=True) as obs:
+        y = quant.residual_store(x)
+        assert y is x
+    assert len(obs) == 1
+    amax = float(jnp.max(jnp.abs(x)))
+    with quant.quantized([amax / 127.0], residency=True):
+        w = quant.residual_store(x)
+        assert isinstance(w, quant.ResidualInt8)
+        assert w.q.dtype == jnp.int8
+        back = quant.residual_load(w)
+    step = amax / 127.0
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x),
+                               atol=0.51 * step)
+
+
+def test_residency_site_count_and_engine(rng):
+    """int8r engine: 3 extra sites per scanline block (the interior
+    sublayer carries), finite outputs, and the site count is consistent
+    between calibration and inference (guarded by quantized())."""
+    from s2m2_tpu.config import ModelConfig
+    from s2m2_tpu.runtime.engine import StereoEngine
+
+    cfg = ModelConfig(feature_channels=32, num_transformer=1, refine_iter=1)
+    left = rng.uniform(0, 255, (64, 96, 3)).astype(np.float32)
+
+    e8 = StereoEngine(cfg, precision="int8", seed=0)
+    d8 = e8.run(left, left)[0]
+    er = StereoEngine(cfg, precision="int8r", seed=0)
+    dr = er.run(left, left)[0]
+    # NTR=1 -> 6 scanline blocks (enc/dec at 3 scales) x 3 interior carries
+    assert len(er.quant_scales) - len(e8.quant_scales) == 18
+    assert np.isfinite(dr).all()
+    # residency changes storage, not semantics: outputs stay close
+    assert np.abs(dr - d8).mean() < 0.5
+
+
+def test_calibrate_low_res_holds_full_res():
+    """Scales calibrated at reduced resolution must reproduce the full-res
+    drift bound (the claim behind engine.calibrate's resolution-independent
+    scales and the _auto_calibrate(max_hw=512) default)."""
+    from s2m2_tpu.models import quant as q
+    from s2m2_tpu.models.s2m2 import forward as fwd
+    from s2m2_tpu.utils.image import image_pad
+
+    cfg, params, a, b, ref_disp = _load_golden_for_drift(
+        "s2m2_c32_ntr1.npz")
+    # calibrate on a 2x-decimated copy of the fixture pair (the
+    # _auto_calibrate downscale path), then run full-res with those scales
+    a_lo = image_pad(np.asarray(a, np.float32)[:, ::2, ::2])
+    b_lo = image_pad(np.asarray(b, np.float32)[:, ::2, ::2])
+    with q.observe(skip_fp32=True) as obs:
+        fwd(params, jnp.asarray(a_lo, jnp.bfloat16),
+            jnp.asarray(b_lo, jnp.bfloat16), cfg)
+    scales = tuple(float(o) / 127.0 for o in obs)
+    with q.quantized(scales, skip_fp32=True):
+        disp8, _, _ = fwd(params, a, b, cfg)
+    epe = np.abs(np.asarray(disp8, np.float32) - ref_disp).mean()
+    # same bound family as test_int8_drift_on_golden's full-res calibration
+    assert epe < 0.02, f"low-res-calibrated int8 EPE {epe}"
+
+
+def test_percentile_calibration(rng):
+    """percentile observe mode: an injected outlier no longer dictates the
+    scale, and the resulting quantization resolves the bulk distribution
+    better (TRT percentile-calibrator analog)."""
+    p = _conv_params(rng, 32, 64)
+    x = np.asarray(rng.standard_normal((1, 8, 10, 32)), np.float32)
+    x.flat[7] = 500.0  # single extreme outlier
+    xj = jnp.asarray(x)
+
+    with quant.observe() as obs:
+        layers.conv2d(p, xj)
+    amax = float(obs[0])
+    with quant.observe(percentile=99.0) as obs_p:
+        layers.conv2d(p, xj)
+    pctl = float(obs_p[0])
+    assert pctl < 0.1 * amax  # outlier ignored
+    assert amax > 400.0       # amax dominated by the outlier
+
+    # the percentile scale resolves the BULK far better (the outlier itself
+    # clips — the trade percentile calibration makes deliberately)
+    bulk = np.delete(x.reshape(-1), 7)
+
+    def bulk_err(scale):
+        q = np.clip(np.round(bulk / scale), -127, 127) * scale
+        return np.abs(q - bulk).mean()
+
+    assert bulk_err(pctl / 127.0) < 0.25 * bulk_err(amax / 127.0)
+
+
+def test_engine_calibrate_percentile(rng):
+    """StereoEngine.calibrate(percentile=...) wires through: scales shrink
+    vs amax calibration on outlier-free noise too (99.9th < max), and the
+    engine still runs."""
+    from s2m2_tpu.config import ModelConfig
+    from s2m2_tpu.runtime.engine import StereoEngine
+    from s2m2_tpu.utils.image import image_pad
+
+    cfg = ModelConfig(feature_channels=32, num_transformer=1, refine_iter=1)
+    left = image_pad(rng.uniform(0, 255, (1, 64, 96, 3)).astype(np.float32))
+
+    e1 = StereoEngine(cfg, precision="int8", seed=0)
+    s_amax = np.asarray(e1.calibrate(left, left))
+    e2 = StereoEngine(cfg, precision="int8", seed=0)
+    s_pct = np.asarray(e2.calibrate(left, left, percentile=99.9))
+    assert s_pct.shape == s_amax.shape
+    assert (s_pct <= s_amax + 1e-12).all() and (s_pct < s_amax).any()
+    d = e2.forward_padded(left, left)[0]
+    assert np.isfinite(np.asarray(d)).all()

@@ -148,22 +148,40 @@ def layer_norm(x, p=None, eps=1e-5):
 
 
 def group_norm(p, x, num_groups=8, eps=1e-5):
-    """GroupNorm over NHWC with fp32 statistics (torch nn.GroupNorm semantics)."""
+    """GroupNorm over NHWC with fp32 statistics (torch nn.GroupNorm semantics).
+
+    One-pass moments (E[x^2] - mean^2, clamped) + a precomputed per-group
+    affine, so the big tensor is read ONCE for the stats reduce and once for
+    the (fused) application. The naive two-pass form cost ~4 GB of physical
+    traffic at the XL stem: XLA materialized the f32 (x - mean) broadcast
+    intermediates at (2,512,608,384) (956 MB each, probe_refine_hlo.py);
+    folding mean/rsqrt/weight/bias into per-group (a, b) coefficients turns
+    the application into one scalar-broadcast multiply-add that fuses into
+    the consumer. Statistics stay fp32 (the fp32-island invariant)."""
     b, h, w, c = x.shape
     g = num_groups
     xf = x.astype(jnp.float32).reshape(b, h, w, g, c // g)
     mean = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 4), keepdims=True)
-    y = ((xf - mean) * lax.rsqrt(var + eps)).reshape(b, h, w, c)
-    y = y * p["weight"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
-    return y.astype(x.dtype)
+    mean2 = jnp.mean(jnp.square(xf), axis=(1, 2, 4), keepdims=True)
+    var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+    scale = lax.rsqrt(var + eps)                       # (b,1,1,g,1) fp32
+    wgt = p["weight"].astype(jnp.float32).reshape(1, 1, 1, g, c // g)
+    bias = p["bias"].astype(jnp.float32).reshape(1, 1, 1, g, c // g)
+    a = scale * wgt                                    # (b,1,1,g,c/g)
+    d = bias - mean * a
+    return (xf * a + d).reshape(b, h, w, c).astype(x.dtype)
 
 
 def avg_pool2d(x, k=2):
-    """Non-overlapping average pooling (torch nn.AvgPool2d(k))."""
+    """Non-overlapping average pooling (torch nn.AvgPool2d(k)).
+
+    The init value must be the weak-typed literal 0.0 (not a jnp scalar of
+    x.dtype): the literal keeps the op on JAX's recognized
+    reduce-window-sum path, which is reverse-mode differentiable in any
+    dtype — a concrete typed init made bf16 TRAINING fail linearization."""
     kh, kw = (k, k) if isinstance(k, int) else tuple(k)
-    y = lax.reduce_window(x, 0.0 if x.dtype == jnp.float32 else jnp.zeros((), x.dtype),
-                          lax.add, (1, kh, kw, 1), (1, kh, kw, 1), "VALID")
+    y = lax.reduce_window(x, 0.0, lax.add, (1, kh, kw, 1), (1, kh, kw, 1),
+                          "VALID")
     return y / (kh * kw)
 
 

@@ -28,11 +28,15 @@ from . import layers
 
 
 def space_to_depth(x):
-    """(B, H, W, C) -> (B, H/2, W/2, 4C), phase-major channels."""
-    b, h, w, c = x.shape
-    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5)  # (B, H/2, W/2, 2, 2, C)
-    return x.reshape(b, h // 2, w // 2, 4 * c)
+    """(B, H, W, C) -> (B, H/2, W/2, 4C), phase-major channels.
+
+    Written as 4 strided slices + channel concat rather than the equivalent
+    6D reshape/transpose: identical floats (asserted in tests/test_packing),
+    but the reshape form lowered to padded 6D layouts + copies on the XL
+    stem input (971 MB physical x2 for a 30 MB logical tensor); the slice
+    form measures -0.85 GB physical encoder traffic (probe_refine_hlo)."""
+    return jnp.concatenate([x[:, 0::2, 0::2], x[:, 0::2, 1::2],
+                            x[:, 1::2, 0::2], x[:, 1::2, 1::2]], axis=-1)
 
 
 def depth_to_space(x):

@@ -123,3 +123,43 @@ def artifact_name(cfg: ModelConfig, height: int, width: int,
                   precision: str = "bf16") -> str:
     return f"s2m2_CH{cfg.feature_channels}NTR{cfg.num_transformer}" \
            f"_{width}x{height}_{precision}.stablehlo"
+
+
+def export_quantized_forward(engine, height: int, width: int, batch: int = 1):
+    """Export a CALIBRATED int8/int8a/int8r engine's forward — the
+    TRT-int8-engine analog (reference builds int8 TensorRT engines from a
+    calibration cache; here the static per-site scales bake into the module
+    as constants and the PRE-QUANTIZED weight tree rides as arguments, so
+    the artifact stays weight-free even at XL).
+
+    The artifact takes (quantized_params, img0, img1) where
+    quantized_params is the engine's post-calibration `_run_params` tree
+    (int8 weight leaves + fp32 'w_scale' siblings; persist it with the
+    checkpoint tools or regenerate via quant.quantize_params_tree +
+    load_calibration). Returns bytes.
+    """
+    from ..models import quant
+
+    if not getattr(engine, "quantize", False) or engine.quant_scales is None:
+        raise ValueError("export_quantized_forward needs a calibrated "
+                         "int8/int8a/int8r StereoEngine")
+    cfg = engine.cfg
+    scales = tuple(float(s) for s in engine.quant_scales)
+    aligned = engine.quant_aligned
+    residency = engine.quant_residency
+    cdt = engine.compute_dtype
+
+    def fn(qparams, img0, img1):
+        with quant.quantized(scales, aligned=aligned, skip_fp32=True,
+                             residency=residency):
+            disp, occ, conf = forward(qparams, img0.astype(cdt),
+                                      img1.astype(cdt), cfg)
+        return (disp.astype(jnp.float32), occ.astype(jnp.float32),
+                conf.astype(jnp.float32))
+
+    p_spec = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+        engine._run_params)
+    spec = jax.ShapeDtypeStruct((batch, height, width, 3), jnp.float32)
+    exported = jax_export.export(jax.jit(fn))(p_spec, spec, spec)
+    return exported.serialize()

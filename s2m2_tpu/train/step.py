@@ -34,17 +34,32 @@ def make_optimizer(lr=2e-4, weight_decay=1e-5, clip=1.0, warmup_steps=0,
 
 
 def make_train_step(cfg: ModelConfig, optimizer, mesh=None,
-                    image_sharding=None, replicated=None):
+                    image_sharding=None, replicated=None,
+                    compute_dtype=None):
     """Returns (train_step, init_opt_state).
 
     train_step(params, opt_state, batch) -> (params, opt_state, metrics)
     batch = dict(img0, img1, gt_disp, valid) with (B, H, W, C) leaves.
-    Gradients are computed in fp32 master params regardless of compute dtype.
+
+    compute_dtype=jnp.bfloat16 enables the mixed-precision policy: fp32
+    MASTER params (the optimizer state and updates stay fp32), with the
+    forward traced on a bf16 cast of params+images — the cast is inside the
+    differentiated function, so gradients flow back through it and land
+    fp32 on the masters (the standard bf16-training recipe; loss and
+    metrics stay fp32 via the model's fp32 islands and the fp32 state
+    carry). Default None = fp32 throughout (tiny smoke runs/tests).
     """
+    import jax.numpy as jnp
 
     def loss_fn(params, batch):
-        disp, occ, conf, aux = forward(params, batch["img0"], batch["img1"],
+        img0, img1 = batch["img0"], batch["img1"]
+        if compute_dtype is not None:
+            params = jax.tree.map(lambda x: x.astype(compute_dtype), params)
+            img0 = img0.astype(compute_dtype)
+            img1 = img1.astype(compute_dtype)
+        disp, occ, conf, aux = forward(params, img0, img1,
                                        cfg, return_aux=True)
+        disp, occ, conf = (x.astype(jnp.float32) for x in (disp, occ, conf))
         total, metrics = sequence_loss(aux["disp_seq"], disp, occ, conf,
                                        batch["gt_disp"], batch["valid"],
                                        batch.get("gt_nonocc"))

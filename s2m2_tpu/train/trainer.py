@@ -18,12 +18,15 @@ from .step import make_optimizer, make_train_step
 
 def train(cfg: ModelConfig, batches, *, num_steps=100, lr=1e-4, seed=0,
           mesh=None, checkpoint_dir=None, checkpoint_every=500,
-          log_every=10, params=None, log=print, warmup_steps=0):
+          log_every=10, params=None, log=print, warmup_steps=0,
+          compute_dtype=None):
     """Run `num_steps` optimizer steps over `batches` (an iterator of dicts).
 
     warmup_steps > 0 enables the linear-warmup + cosine-decay LR schedule
     over num_steps. Supervision is RAFT-style sequence loss over the
     per-refine-iteration outputs (train/loss.py::sequence_loss).
+    compute_dtype=jnp.bfloat16 enables the mixed-precision policy (fp32
+    master params, bf16 forward — see step.make_train_step).
     Returns (params, history list of metric dicts).
     """
     if params is None:
@@ -38,7 +41,8 @@ def train(cfg: ModelConfig, batches, *, num_steps=100, lr=1e-4, seed=0,
         params = jax.device_put(params, rep)
     train_step, init_opt = make_train_step(cfg, optimizer, mesh=mesh,
                                            image_sharding=img_s,
-                                           replicated=rep)
+                                           replicated=rep,
+                                           compute_dtype=compute_dtype)
     opt_state = init_opt(params)
     if mesh is not None:
         opt_state = jax.device_put(opt_state, rep)

@@ -74,3 +74,34 @@ def test_export_with_weights_scales_to_xl():
     blob = export_forward_with_weights(cfg, 1024, 1216)
     # 406M bf16 params would be ~812 MB; the weight-free module is ~MBs
     assert len(blob) < 64 * 1024 * 1024, len(blob)
+
+
+def test_export_quantized_roundtrip(tmp_path, rng):
+    """int8 engine export: calibrated scales bake into the module, the
+    pre-quantized weight tree rides as arguments, and the artifact
+    reproduces the live engine's outputs exactly."""
+    from s2m2_tpu.tools.export import export_quantized_forward
+    from s2m2_tpu.runtime.engine import StereoEngine
+    from s2m2_tpu.utils.image import image_pad
+
+    cfg = ModelConfig(feature_channels=32, num_transformer=1, refine_iter=1)
+    h, w = 64, 96
+    eng = StereoEngine(cfg, precision="int8", seed=0)
+    img0 = image_pad(rng.uniform(0, 255, (1, h, w, 3)).astype(np.float32))
+    img1 = image_pad(rng.uniform(0, 255, (1, h, w, 3)).astype(np.float32))
+    eng.calibrate(img0, img1)
+    ref = eng.forward_padded(img0, img1)
+
+    blob = export_quantized_forward(eng, img0.shape[1], img0.shape[2])
+    path = tmp_path / artifact_name(cfg, h, w, "int8")
+    save_artifact(str(path), blob)
+
+    fn = load_artifact(str(path))
+    disp, occ, conf = fn(eng._run_params, img0, img1)
+    np.testing.assert_allclose(np.asarray(disp), np.asarray(ref[0]),
+                               atol=1e-4)
+
+    # an uncalibrated engine is rejected with a clear error
+    import pytest
+    with pytest.raises(ValueError, match="calibrated"):
+        export_quantized_forward(StereoEngine(cfg, precision="int8"), h, w)

@@ -150,26 +150,43 @@ def layer_norm(x, p=None, eps=1e-5):
 def group_norm(p, x, num_groups=8, eps=1e-5):
     """GroupNorm over NHWC with fp32 statistics (torch nn.GroupNorm semantics).
 
-    One-pass moments (E[x^2] - mean^2, clamped) + a precomputed per-group
-    affine, so the big tensor is read ONCE for the stats reduce and once for
-    the (fused) application. The naive two-pass form cost ~4 GB of physical
-    traffic at the XL stem: XLA materialized the f32 (x - mean) broadcast
-    intermediates at (2,512,608,384) (956 MB each, probe_refine_hlo.py);
-    folding mean/rsqrt/weight/bias into per-group (a, b) coefficients turns
-    the application into one scalar-broadcast multiply-add that fuses into
-    the consumer. Statistics stay fp32 (the fp32-island invariant)."""
+    Two-pass statistics (the shifted one-pass E[x^2]-mean^2 form loses to
+    catastrophic cancellation when |mean| >> std — measured 6.9 absolute
+    error at mean ~100 vs the torch oracle, tests/test_layers.py) + a
+    precomputed per-group affine application. The affine is the traffic
+    win: the naive ((x-mean)*rsqrt)*w+b form made XLA materialize the f32
+    (x - mean) broadcast intermediates at (2,512,608,384) on the XL stem
+    (956 MB each, probe_refine_hlo.py); folding mean/rsqrt/weight/bias
+    into per-group (a, d) coefficients turns the application into one
+    scalar-broadcast multiply-add that fuses into the consumer.
+    Statistics stay fp32 (the fp32-island invariant)."""
     b, h, w, c = x.shape
     g = num_groups
     xf = x.astype(jnp.float32).reshape(b, h, w, g, c // g)
     mean = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
-    mean2 = jnp.mean(jnp.square(xf), axis=(1, 2, 4), keepdims=True)
-    var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 4), keepdims=True)
     scale = lax.rsqrt(var + eps)                       # (b,1,1,g,1) fp32
     wgt = p["weight"].astype(jnp.float32).reshape(1, 1, 1, g, c // g)
     bias = p["bias"].astype(jnp.float32).reshape(1, 1, 1, g, c // g)
-    a = scale * wgt                                    # (b,1,1,g,c/g)
-    d = bias - mean * a
-    return (xf * a + d).reshape(b, h, w, c).astype(x.dtype)
+    if _GN_AFFINE:
+        a = scale * wgt                                # (b,1,1,g,c/g)
+        d = bias - mean * a
+        y = xf * a + d
+    else:
+        y = (xf - mean) * scale * wgt + bias
+    return y.reshape(b, h, w, c).astype(x.dtype)
+
+
+# Env gates for the two round-4 encoder reformulations, so e2e bisection is
+# flag-based (the repo convention for measured experiments):
+#   S2M2_GN_AFFINE=0  -> naive ((x-mean)*rsqrt)*w+b group-norm application
+#   S2M2_S2D_SLICES=0 -> reshape/transpose space_to_depth (packing.py)
+_GN_AFFINE = _os.environ.get("S2M2_GN_AFFINE", "1") == "1"
+
+
+def set_gn_affine(enabled: bool):
+    global _GN_AFFINE
+    _GN_AFFINE = bool(enabled)
 
 
 def avg_pool2d(x, k=2):

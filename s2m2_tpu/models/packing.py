@@ -22,21 +22,38 @@ conv_transpose2d (zero padding k//2; convT k2s2 has no padding).
 """
 from __future__ import annotations
 
+import os as _os
+
 import jax.numpy as jnp
 
 from . import layers
+
+_S2D_SLICES = _os.environ.get("S2M2_S2D_SLICES", "0") == "1"
+
+
+def set_s2d_slices(enabled: bool):
+    global _S2D_SLICES
+    _S2D_SLICES = bool(enabled)
 
 
 def space_to_depth(x):
     """(B, H, W, C) -> (B, H/2, W/2, 4C), phase-major channels.
 
-    Written as 4 strided slices + channel concat rather than the equivalent
-    6D reshape/transpose: identical floats (asserted in tests/test_packing),
-    but the reshape form lowered to padded 6D layouts + copies on the XL
-    stem input (971 MB physical x2 for a 30 MB logical tensor); the slice
-    form measures -0.85 GB physical encoder traffic (probe_refine_hlo)."""
-    return jnp.concatenate([x[:, 0::2, 0::2], x[:, 0::2, 1::2],
-                            x[:, 1::2, 0::2], x[:, 1::2, 1::2]], axis=-1)
+    Default = the 6D reshape/transpose form. A strided-slices+concat
+    rewrite (S2M2_S2D_SLICES=1; identical floats, asserted in
+    tests/test_packing) analyzed -0.85 GB of physical encoder traffic
+    (the reshape form pads 6D layouts on the stem input: 971 MB physical
+    x2 for a 30 MB logical tensor) but MEASURED -4.6% e2e on XL@1216 int8
+    (3.00 vs 3.13/3.14 FPS, bisected round 4) - the slice form's gain in
+    the stem is outweighed by worse downstream layout choices. Kept as a
+    flag-gated counter-example per repo convention."""
+    if _S2D_SLICES:
+        return jnp.concatenate([x[:, 0::2, 0::2], x[:, 0::2, 1::2],
+                                x[:, 1::2, 0::2], x[:, 1::2, 1::2]], axis=-1)
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # (B, H/2, W/2, 2, 2, C)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
 
 
 def depth_to_space(x):

@@ -162,3 +162,19 @@ def test_upsample1x_multi(rng):
     for i in range(3):
         np.testing.assert_allclose(np.asarray(got[..., i:i + 1]),
                                    np.asarray(ref[i]), atol=1e-5)
+
+
+def test_s2d_slices_variant_exact(rng):
+    """The flag-gated strided-slice space_to_depth (S2M2_S2D_SLICES=1 — a
+    measured e2e counter-example, see packing.py docstring) stays
+    bit-identical to the default reshape form."""
+    from s2m2_tpu.models import packing
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 10, 5)), jnp.float32)
+    ref = np.asarray(packing.space_to_depth(x))
+    packing.set_s2d_slices(True)
+    try:
+        got = np.asarray(packing.space_to_depth(x))
+    finally:
+        packing.set_s2d_slices(False)
+    np.testing.assert_array_equal(got, ref)

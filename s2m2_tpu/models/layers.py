@@ -66,7 +66,9 @@ def conv2d(p, x, stride=1, padding=None):
         acc = quant.conv2d_maybe_quantized(x, p, s, pad, _CONV_DN)
         if acc is not None:
             if "bias" in p and p["bias"] is not None:
-                acc = acc + p["bias"].astype(jnp.float32)
+                # acc.dtype (not f32): the bf16-accumulator path must not
+                # be upcast back to f32 by the bias add
+                acc = acc + p["bias"].astype(acc.dtype)
             return acc.astype(quant.unwrap(x).dtype)
     x = quant.unwrap(x)
     if "w_scale" in p:  # pre-quantized weights on a float path: dequantize
@@ -120,7 +122,7 @@ def linear(p, x):
         acc = quant.linear_maybe_quantized(x, p)
         if acc is not None:
             if "bias" in p and p["bias"] is not None:
-                acc = acc + p["bias"].astype(jnp.float32)
+                acc = acc + p["bias"].astype(acc.dtype)  # see conv2d
             return acc.astype(quant.unwrap(x).dtype)
     x = quant.unwrap(x)
     w = p["weight"]

@@ -303,17 +303,47 @@ def conv2d_maybe_quantized(x, p, strides, padding, dn):
         w_q, s_w = w, p["w_scale"]
     else:
         w_q, s_w = _quantize_weight(w, (0, 1, 2))  # -> s_w (1,1,1,O)
+    acc_t = jnp.bfloat16 if _ACC_BF16 else jnp.int32
     if kh == kw == 1 and strides == (1, 1) and dot_1x1():
         acc = jnp.einsum("bhwc,co->bhwo", x_q, w_q[0, 0],
-                         preferred_element_type=jnp.int32)
+                         preferred_element_type=acc_t)
     else:
         acc = lax.conv_general_dilated(
             x_q, w_q, window_strides=strides, padding=padding,
-            dimension_numbers=dn, preferred_element_type=jnp.int32)
-    return acc.astype(jnp.float32) * (s_w.reshape(1, 1, 1, -1) * s_x)
+            dimension_numbers=dn, preferred_element_type=acc_t)
+    scale = s_w.reshape(1, 1, 1, -1) * s_x
+    if _ACC_BF16:
+        return acc * scale.astype(jnp.bfloat16)
+    return acc.astype(jnp.float32) * scale
 
 
 _INT8_ATTN = __import__("os").environ.get("S2M2_INT8_ATTN", "0") == "1"
+_ACC_BF16 = __import__("os").environ.get("S2M2_INT8_ACC_BF16", "0") == "1"
+
+
+def set_acc_bf16(enabled: bool):
+    """bf16 GEMM accumulator residency: int8 convs/dots emit bf16 outputs
+    (preferred_element_type=bf16) instead of materializing int32
+    accumulators in HBM, and the dequant scale multiply runs in bf16.
+
+    Why: the full-forward physical-traffic attribution
+    (scripts/attr_phys_traffic.py, XL@1216x1024 int8) charges ~31 GB of
+    physical writes to the s32 accumulator outputs (quant.py conv/dot
+    sites, ~2.1x layout-padded) that the dequant fusion immediately
+    re-reads — the single largest attributable line item. In practice the
+    compiled program shows those s32 accumulators are already
+    fusion-INTERNAL (conv fusions root at bf16 dequant outputs), so the
+    flag only removes ~3.0 GB physical (127.8 -> 124.8 compile-level) and
+    MEASURED NEUTRAL e2e: 3.136 FPS vs the 3.142/3.132 re-baselines on
+    XL@1216x1024 v5e (inside the +-1.5% noise band). Default stays OFF
+    (s32 accumulators); kept as a tested opt-in. Cost of the flag: one
+    extra 2^-9 relative rounding of the integer accumulator BEFORE the
+    scale multiply instead of after — drift-bounded at 0.0033/0.0291 px
+    on the golden fixtures (tests/test_quant.py::test_int8_acc_bf16_drift).
+    The flag must not change between calibration and inference runs that
+    share an engine (site counts are unaffected, but programs differ)."""
+    global _ACC_BF16
+    _ACC_BF16 = bool(enabled)
 
 
 def set_int8_attn(enabled: bool):
@@ -389,6 +419,10 @@ def linear_maybe_quantized(x, p):
         w_q, s_w = w, p["w_scale"]
     else:
         w_q, s_w = _quantize_weight(w, (0,))  # -> s_w (1, out)
+    if _ACC_BF16:
+        acc = jnp.einsum("...i,io->...o", x_q, w_q,
+                         preferred_element_type=jnp.bfloat16)
+        return acc * (s_w.reshape(1, -1)[0] * s_x).astype(jnp.bfloat16)
     acc = jnp.einsum("...i,io->...o", x_q, w_q,
                      preferred_element_type=jnp.int32)
     return acc.astype(jnp.float32) * (s_w.reshape(1, -1)[0] * s_x)

@@ -1,0 +1,139 @@
+"""Attribute FULL-forward physical HBM traffic to source lines (dev tool).
+
+The per-stage physical-traffic table (probe_phys_traffic.py) uses isolated
+stage compiles; cross-stage fusion in the real program eliminates boundary
+materializations, so stage sums overcount ~25%. This walks the compiled
+FULL forward's ENTRY computation instead and attributes every top-level
+instruction's (padded) bytes to its `metadata.op_name` source file:line —
+the ground truth for "which Python line buys which GB" in the program the
+benchmark actually runs. Compile-only — never touches the TPU server.
+
+Usage: python scripts/attr_phys_traffic.py [--model XL] [--int8] [--top 40]
+"""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import collections
+import re
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from probe_refine_hlo import parse_entry, SHAPE_RE, shape_bytes  # noqa: E402
+from s2m2_tpu.config import get_config
+from s2m2_tpu.models import quant
+from s2m2_tpu.models.init import init_params
+from s2m2_tpu.models.s2m2 import forward
+
+META_RE = re.compile(
+    r'source_file="([^"]+)".*?source_line=(\d+)')
+PEAK_BW = 819.0
+
+
+def parse_entry_attr(hlo_text):
+    """Like parse_entry but returns (src, op, phys_out, log_out) per
+    top-level instruction (output bytes only — reads double-count)."""
+    lines = hlo_text.splitlines()
+    in_entry = False
+    depth = 0
+    rows = []
+    for ln in lines:
+        if ln.startswith("ENTRY "):
+            in_entry = True
+            depth = ln.count("{") - ln.count("}")
+            continue
+        if not in_entry:
+            continue
+        depth += ln.count("{") - ln.count("}")
+        if depth <= 0:
+            break
+        s = ln.strip()
+        m = re.match(r"(%?[\w.\-]+)\s*=\s*(\([^)]*\)|[^\s]+)\s+(\w+)", s)
+        if not m:
+            continue
+        name, shapes_str, op = m.groups()
+        if op in ("parameter", "constant", "get-tuple-element", "bitcast",
+                  "tuple"):
+            continue
+        o_phys = o_log = 0
+        for dt, dims, lay in SHAPE_RE.findall(shapes_str):
+            p, l = shape_bytes(dt, dims, lay)
+            o_phys += p
+            o_log += l
+        mm = META_RE.search(ln)
+        src = (f"{_os.path.basename(mm.group(1))}:{mm.group(2)}"
+               if mm else "(no metadata)")
+        rows.append((src, op, o_phys, o_log, name))
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="XL")
+    ap.add_argument("--width", type=int, default=1216)
+    ap.add_argument("--height", type=int, default=1024)
+    ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--top", type=int, default=40)
+    args = ap.parse_args()
+
+    from s2m2_tpu.runtime.engine import cast_params, fp32_keep_paths
+
+    cfg = get_config(args.model)
+    # mirror the engine's headline param policy: bf16 + fp32-island heads
+    params = cast_params(init_params(cfg, seed=0), jnp.bfloat16,
+                         fp32_keep_paths(cfg))
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(0, 255, (1, args.height, args.width, 3)),
+                      jnp.bfloat16)
+
+    fn = lambda p, a, b: forward(p, a, b, cfg)[0]
+    if args.int8:
+        def obs(p, a, b):
+            with quant.observe(skip_fp32=True) as o:
+                out = fn(p, a, b)
+            return out, (jnp.stack(o) if o else jnp.zeros((0,)))
+        spec0 = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), (params, img, img))
+        n = jax.eval_shape(obs, *spec0)[1].shape[0]
+        scales = tuple([0.05] * int(n))
+        qparams = quant.quantize_params_tree(params, skip_fp32=True)
+        fn0 = fn
+        fn = lambda p, a, b: _quantized_call(fn0, scales, (p, a, b))
+        params = qparams
+
+    spec = jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                        (params, img, img))
+    comp = jax.jit(fn).lower(*spec).compile()
+    rows = parse_entry_attr(comp.as_text())
+    tot_phys = sum(r[2] for r in rows)
+    tot_log = sum(r[3] for r in rows)
+    print(f"FULL forward {args.model}@{args.width}x{args.height} "
+          f"({'int8' if args.int8 else 'bf16'}): "
+          f"{tot_phys/1e9:.1f} GB physical vs {tot_log/1e9:.1f} GB logical "
+          f"({tot_phys/max(tot_log,1):.2f}x pad) — "
+          f"phys roofline {tot_phys/1e9/PEAK_BW*1e3:.1f} ms")
+    by_src = collections.Counter()
+    by_src_log = collections.Counter()
+    for src, op, p, l, _ in rows:
+        by_src[src] += p
+        by_src_log[src] += l
+    print(f"\ntop {args.top} source lines by physical output bytes:")
+    for src, p in by_src.most_common(args.top):
+        print(f"  {src:42s} {p/1e9:7.2f} GB phys ({by_src_log[src]/1e9:6.2f} log)")
+    by_op = collections.Counter()
+    for _, op, p, l, _ in rows:
+        by_op[op] += p
+    print("\nby op kind (physical GB):")
+    for op, p in by_op.most_common(10):
+        print(f"  {op:24s} {p/1e9:8.2f}")
+
+
+def _quantized_call(fn, scales, x):
+    with quant.quantized(scales, skip_fp32=True):
+        return fn(*x)
+
+
+if __name__ == "__main__":
+    main()

@@ -212,6 +212,36 @@ def test_int8_drift_on_golden(fixture, residency, bound):
     assert epe < bound, f"int8 EPE vs reference fp32 {epe} (bound {bound})"
 
 
+@pytest.mark.parametrize("fixture,bound", [
+    ("s2m2_c32_ntr1.npz", 0.02),
+    ("s2m2_c32_ntr1_neg_up.npz", 0.09),
+])
+def test_int8_acc_bf16_drift(fixture, bound):
+    """bf16-accumulator residency (quant.set_acc_bf16): int8 GEMMs emit
+    bf16 outputs instead of materializing s32 accumulators (~31 GB of the
+    XL@1216 physical traffic, attr_phys_traffic.py). The extra 2^-9
+    accumulator rounding must stay a small fraction of the 0.1 px budget
+    on both config classes. Measured: 0.0033 px (positivity) / 0.0291 px
+    (neg+output-upsample) — same family as the s32-accumulator path's
+    0.0028/0.0502 (the per-element rounding is uncorrelated with the
+    |d|-dependent weight-rounding term, so it does not stack)."""
+    from s2m2_tpu.models import quant as q
+    from s2m2_tpu.models.s2m2 import forward as fwd
+
+    cfg, params, a, b, ref_disp = _load_golden_for_drift(fixture)
+    q.set_acc_bf16(True)
+    try:
+        with q.observe(skip_fp32=True) as obs:
+            fwd(params, a, b, cfg)
+        scales = tuple(float(o) / 127.0 for o in obs)
+        with q.quantized(scales, skip_fp32=True):
+            disp8, _, _ = fwd(params, a, b, cfg)
+    finally:
+        q.set_acc_bf16(False)  # restore default pending e2e measurement
+    epe = np.abs(np.asarray(disp8, np.float32) - ref_disp).mean()
+    assert epe < bound, f"acc-bf16 int8 EPE vs reference fp32 {epe}"
+
+
 def test_aligned_only_policy(rng):
     """int8a: only 128-lane-aligned GEMMs quantize (engine precision
     'int8a'); site counts shrink accordingly and the forward stays finite.

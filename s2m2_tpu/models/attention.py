@@ -96,20 +96,25 @@ def _merge_heads(x):
     return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
 
 
-def sdpa(q, k, v):
+def sdpa(q, k, v, allow_pallas=True):
     """Scaled dot-product attention, fp32 softmax, (B, heads, N, D) layout.
 
     Dispatches to the Pallas row-attention kernel on TPU (f32 scores stay in
     VMEM); otherwise the reference XLA einsum path. Inside an int8 quant
     context the QK^T/PV matmuls run on the int8 MXU path with int8
-    score/prob storage (models/quant.py::sdpa_maybe_quantized)."""
+    score/prob storage (models/quant.py::sdpa_maybe_quantized).
+
+    allow_pallas=False pins the XLA path regardless of the S2M2_PALLAS_ATTN
+    family flags — the 4D CROSS path passes it so a 'self'-family Pallas
+    experiment cannot silently change the cross family's backend too (the
+    per-family bisection contract of set_pallas_attention)."""
     from . import quant as _q
     if _q.active():
         out = _q.sdpa_maybe_quantized(q, k, v)
         if out is not None:
             return out
     b, h, n, d = q.shape
-    if _pallas_ok(n, "self"):
+    if allow_pallas and _pallas_ok(n, "self"):
         fold = lambda x: x.reshape(b * h, n, d)
         out = _fa.scanline_attention(fold(q), fold(k), fold(v))
         return out.reshape(b, h, n, d)
@@ -244,8 +249,11 @@ def _cross_attn_4d(p, zn, z):
     k = layers.linear(p["k"], zn)
     v = layers.linear(p["v"], zn)
     b0 = q.shape[0] // 2
-    out = jnp.concatenate([sdpa(q[:b0], k[b0:], v[b0:]),
-                           sdpa(q[b0:], k[:b0], v[:b0])], axis=0)
+    # allow_pallas=False: this path is only reachable with the Pallas CROSS
+    # flag off, and must not dispatch on the SELF flag (sdpa docstring)
+    out = jnp.concatenate([sdpa(q[:b0], k[b0:], v[b0:], allow_pallas=False),
+                           sdpa(q[b0:], k[:b0], v[:b0], allow_pallas=False)],
+                          axis=0)
     return layers.linear(p["proj"], out) + z
 
 

@@ -72,7 +72,9 @@ def conv2d(p, x, stride=1, padding=None):
             return acc.astype(quant.unwrap(x).dtype)
     x = quant.unwrap(x)
     if "w_scale" in p:  # pre-quantized weights on a float path: dequantize
-        w = w.astype(jnp.float32) * p["w_scale"]
+        # the dequantized f32 form must NOT trigger the fp32-island upcast
+        # below (these are int8-rounded weights, not precision-kept heads)
+        w = (w.astype(jnp.float32) * p["w_scale"]).astype(x.dtype)
     if w.dtype == jnp.float32 and x.dtype == jnp.bfloat16:
         # fp32-island conv: fp32 weights kept by the engine's cast policy
         # (engine.cast_params FP32_HEAD_PATHS) force fp32 compute — bf16
@@ -127,7 +129,9 @@ def linear(p, x):
     x = quant.unwrap(x)
     w = p["weight"]
     if "w_scale" in p:  # pre-quantized weights on a float path: dequantize
-        w = w.astype(jnp.float32) * p["w_scale"]
+        w = (w.astype(jnp.float32) * p["w_scale"]).astype(x.dtype)
+    if w.dtype == jnp.float32 and x.dtype == jnp.bfloat16:
+        x = x.astype(jnp.float32)  # fp32-island rule (see conv2d)
     y = jnp.einsum("...i,io->...o", x, w.astype(x.dtype))
     if "bias" in p and p["bias"] is not None:
         y = y + p["bias"].astype(y.dtype)

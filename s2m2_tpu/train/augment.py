@@ -26,12 +26,17 @@ import numpy as np
 
 
 def photometric_jitter(img, rng, brightness=0.25, contrast=0.25, gamma=0.3):
-    """Per-image brightness/contrast/gamma on a [0,255] float image."""
-    out = img.astype(np.float32) / 255.0
-    out = np.clip(out * (1.0 + rng.uniform(-contrast, contrast))
-                  + rng.uniform(-brightness, brightness), 0.0, 1.0)
-    out = out ** np.exp(rng.uniform(-gamma, gamma))
-    return out * 255.0
+    """Per-image brightness/contrast/gamma on a [0,255] float image.
+
+    The draws are cast to float32 scalars: under NumPy 2's NEP-50 rules a
+    float64 python scalar would otherwise promote the whole image to
+    float64 (2x host memory, dtype leak into consumers)."""
+    out = img.astype(np.float32) / np.float32(255.0)
+    out = np.clip(out * np.float32(1.0 + rng.uniform(-contrast, contrast))
+                  + np.float32(rng.uniform(-brightness, brightness)),
+                  np.float32(0.0), np.float32(1.0))
+    out = out ** np.float32(np.exp(rng.uniform(-gamma, gamma)))
+    return out * np.float32(255.0)
 
 
 def eraser_occlusion(img, rng, max_boxes=2, max_frac=0.25):
@@ -41,8 +46,11 @@ def eraser_occlusion(img, rng, max_boxes=2, max_frac=0.25):
     out = img.copy()
     mean = img.reshape(-1, img.shape[-1]).mean(axis=0)
     for _ in range(rng.integers(0, max_boxes + 1)):
-        bh = rng.integers(max(h // 16, 1), max(int(h * max_frac), 2))
-        bw = rng.integers(max(w // 16, 1), max(int(w * max_frac), 2))
+        # clamp low < high so small images / small max_frac stay legal
+        bh_hi = max(int(h * max_frac), 2)
+        bw_hi = max(int(w * max_frac), 2)
+        bh = rng.integers(min(max(h // 16, 1), bh_hi - 1), bh_hi)
+        bw = rng.integers(min(max(w // 16, 1), bw_hi - 1), bw_hi)
         y0 = rng.integers(0, h - bh + 1)
         x0 = rng.integers(0, w - bw + 1)
         out[y0:y0 + bh, x0:x0 + bw] = mean

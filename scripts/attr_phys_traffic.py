@@ -15,58 +15,26 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)
 
 import argparse
 import collections
-import re
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from probe_refine_hlo import parse_entry, SHAPE_RE, shape_bytes  # noqa: E402
+from probe_refine_hlo import parse_entry  # noqa: E402 (shared ENTRY walker)
 from s2m2_tpu.config import get_config
 from s2m2_tpu.models import quant
 from s2m2_tpu.models.init import init_params
 from s2m2_tpu.models.s2m2 import forward
 
-META_RE = re.compile(
-    r'source_file="([^"]+)".*?source_line=(\d+)')
 PEAK_BW = 819.0
 
 
 def parse_entry_attr(hlo_text):
-    """Like parse_entry but returns (src, op, phys_out, log_out) per
-    top-level instruction (output bytes only — reads double-count)."""
-    lines = hlo_text.splitlines()
-    in_entry = False
-    depth = 0
-    rows = []
-    for ln in lines:
-        if ln.startswith("ENTRY "):
-            in_entry = True
-            depth = ln.count("{") - ln.count("}")
-            continue
-        if not in_entry:
-            continue
-        depth += ln.count("{") - ln.count("}")
-        if depth <= 0:
-            break
-        s = ln.strip()
-        m = re.match(r"(%?[\w.\-]+)\s*=\s*(\([^)]*\)|[^\s]+)\s+(\w+)", s)
-        if not m:
-            continue
-        name, shapes_str, op = m.groups()
-        if op in ("parameter", "constant", "get-tuple-element", "bitcast",
-                  "tuple"):
-            continue
-        o_phys = o_log = 0
-        for dt, dims, lay in SHAPE_RE.findall(shapes_str):
-            p, l = shape_bytes(dt, dims, lay)
-            o_phys += p
-            o_log += l
-        mm = META_RE.search(ln)
-        src = (f"{_os.path.basename(mm.group(1))}:{mm.group(2)}"
-               if mm else "(no metadata)")
-        rows.append((src, op, o_phys, o_log, name))
-    return rows
+    """(src, op, phys_out, log_out, name) per top-level instruction —
+    OUTPUT bytes only (read charges would double-count across
+    instructions); src comes from parse_entry's metadata column."""
+    return [(src, op, o_phys, o_log, name)
+            for name, op, _, _, o_phys, o_log, src in parse_entry(hlo_text)]
 
 
 def main():

@@ -47,13 +47,13 @@ def main():
     print(f"encoder entry traffic: {tot_phys/1e9:.2f} GB physical vs "
           f"{tot_log/1e9:.2f} GB logical ({tot_phys/max(tot_log,1):.2f}x)")
     by_op = collections.Counter()
-    for _, op, p, l, _, _ in rows:
+    for _, op, p, l, *_ in rows:
         by_op[op] += p
     print("\nby op kind (physical GB):")
     for op, p in by_op.most_common(12):
         print(f"  {op:24s} {p/1e9:8.2f}")
     print(f"\ntop {args.top} instructions by physical bytes (out+reads):")
-    for name, op, p, l, op_, ol in sorted(rows, key=lambda r: -r[2])[:args.top]:
+    for name, op, p, l, op_, ol, _src in sorted(rows, key=lambda r: -r[2])[:args.top]:
         print(f"  {op:20s} {p/1e6:9.1f} MB phys ({l/1e6:9.1f} log)  {name[:70]}")
 
 

@@ -105,7 +105,7 @@ def main():
             n = jax.eval_shape(obs, *spec0)[1].shape[0]
             scales = tuple([0.05] * int(n))
             fn = (lambda *x, fn=fn, scales=scales:
-                  quant.__enter__ if False else _quantized_call(fn, scales, x))
+                  _quantized_call(fn, scales, x))
         spec = jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
                             list(a))
         comp = jax.jit(fn).lower(*spec).compile()

@@ -55,9 +55,17 @@ def shape_bytes(dt, dims, lay):
     return phys, logical
 
 
+META_RE = re.compile(r'source_file="([^"]+)".*?source_line=(\d+)')
+
+
 def parse_entry(hlo_text):
     """Charge each top-level ENTRY instruction its output bytes + operand
-    output bytes (reads). Returns per-op aggregates."""
+    output bytes (reads). Returns rows
+    (name, op, phys_out+reads, log_out+reads, phys_out, log_out, src)
+    where src is the instruction metadata's "file.py:line" (or
+    "(no metadata)") — attr_phys_traffic.py aggregates on it."""
+    import os as _op
+
     lines = hlo_text.splitlines()
     in_entry = False
     depth = 0
@@ -97,7 +105,11 @@ def parse_entry(hlo_text):
         if op in ("parameter", "constant", "get-tuple-element", "bitcast",
                   "tuple"):
             continue  # no data movement of their own
-        rows.append((name, op, o_phys + r_phys, o_log + r_log, o_phys, o_log))
+        mm = META_RE.search(ln)
+        src = (f"{_op.path.basename(mm.group(1))}:{mm.group(2)}"
+               if mm else "(no metadata)")
+        rows.append((name, op, o_phys + r_phys, o_log + r_log, o_phys, o_log,
+                     src))
     return rows
 
 
@@ -141,13 +153,13 @@ def main():
           f"{tot_phys/1e9:.2f} GB physical vs {tot_log/1e9:.2f} GB logical "
           f"({tot_phys/max(tot_log,1):.2f}x padding)")
     by_op = collections.Counter()
-    for _, op, p, l, _, _ in rows:
+    for _, op, p, l, *_ in rows:
         by_op[op] += p
     print("\nby op kind (physical GB):")
     for op, p in by_op.most_common(12):
         print(f"  {op:24s} {p/1e9:8.2f}")
     print(f"\ntop {args.top} instructions by physical bytes (out+reads):")
-    for name, op, p, l, op_, ol in sorted(rows, key=lambda r: -r[2])[:args.top]:
+    for name, op, p, l, op_, ol, _src in sorted(rows, key=lambda r: -r[2])[:args.top]:
         print(f"  {op:20s} {p/1e6:9.1f} MB phys ({l/1e6:9.1f} log)  {name[:60]}")
 
 

@@ -41,9 +41,17 @@ def make_eval_set(cfg, n=4, height=96, width=128, max_disp=16, seed=9999):
                                          n_batches=n))
 
 
+_EVAL_FWD = {}
+
+
 def evaluate(params, cfg, eval_set, dtype=jnp.float32):
-    """Held-out EPE / bad-2.0 with the inference forward."""
-    fwd = jax.jit(lambda p, a, b: forward(p, a, b, cfg))
+    """Held-out EPE / bad-2.0 with the inference forward. The jitted
+    forward is cached per-config so periodic evals don't re-trace (a fresh
+    jax.jit closure per call would recompile every interval)."""
+    fwd = _EVAL_FWD.get(id(cfg))
+    if fwd is None:
+        fwd = jax.jit(lambda p, a, b: forward(p, a, b, cfg))
+        _EVAL_FWD[id(cfg)] = fwd
     epes, bads = [], []
     for s in eval_set:
         disp, occ, conf = fwd(params,

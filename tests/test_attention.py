@@ -181,3 +181,30 @@ def test_scanline_block_4d_matches_fold(rng):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_self), np.asarray(ref_self),
                                atol=1e-5)
+
+
+def test_pallas_self_flag_does_not_leak_into_4d_cross(rng, monkeypatch):
+    """Per-family bisection contract: a 'self'-family Pallas experiment
+    (S2M2_PALLAS_ATTN=self) must not change the CROSS family's backend.
+    The 4D cross path delegates to sdpa(), which dispatches on the SELF
+    flag — it must pin the XLA path via allow_pallas=False."""
+    B, H, W, C = 1, 4, 12, 16
+    z = rng.standard_normal((2 * B, H, W, C), dtype=np.float32)
+    p = {"attn": {
+        "q": _linear_params(rng, C, C, False)[0],
+        "k": _linear_params(rng, C, C, False)[0],
+        "v": _linear_params(rng, C, C, True)[0],
+        "proj": _linear_params(rng, C, C, False)[0]}}
+    ref = np.asarray(attention.cross_attn_block_1d(p, jnp.asarray(z), 1))
+
+    def boom(*a, **k):
+        raise AssertionError("Pallas kernel dispatched on the cross path")
+
+    # force the dispatch gate open for 'self' (the CPU backend check would
+    # otherwise make this vacuous) and booby-trap the kernel entry
+    monkeypatch.setattr(attention, "_pallas_ok",
+                        lambda n, kind: kind == "self")
+    monkeypatch.setattr(attention._fa, "scanline_attention", boom)
+    monkeypatch.setattr(attention, "_USE_PALLAS_SELF", True)
+    got = np.asarray(attention.cross_attn_block_1d(p, jnp.asarray(z), 1))
+    np.testing.assert_allclose(got, ref, atol=1e-6)

@@ -15,12 +15,14 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)
 
 import argparse
 import collections
+import re
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from probe_refine_hlo import parse_entry  # noqa: E402 (shared ENTRY walker)
+from probe_refine_hlo import (  # noqa: E402 (shared ENTRY walker)
+    META_RE, SHAPE_RE, parse_entry, shape_bytes)
 from s2m2_tpu.config import get_config
 from s2m2_tpu.models import quant
 from s2m2_tpu.models.init import init_params
@@ -37,6 +39,50 @@ def parse_entry_attr(hlo_text):
             for name, op, _, _, o_phys, o_log, src in parse_entry(hlo_text)]
 
 
+def classify_copies(hlo_text, top=25):
+    """Group ENTRY-level `copy`/no-metadata instructions by output
+    shape+dtype. The full-forward attribution leaves ~36 GB physical in
+    layout/plumbing instructions that carry NO source metadata (28.3 GB of
+    pure `copy` at XL@1216 int8) — this ranks those by shape so each bucket
+    can be traced to the producer/consumer layout mismatch that forces it."""
+    rows = collections.Counter()
+    counts = collections.Counter()
+    in_entry = False
+    depth = 0
+    for ln in hlo_text.splitlines():
+        if ln.startswith("ENTRY "):
+            in_entry = True
+            depth = ln.count("{") - ln.count("}")
+            continue
+        if not in_entry:
+            continue
+        depth += ln.count("{") - ln.count("}")
+        if depth <= 0:
+            break
+        s = ln.strip()
+        m = re.match(r"%?[\w.\-]+\s*=\s*(\([^)]*\)|[^\s]+)\s+(\w+)", s)
+        if not m:
+            continue
+        shapes_str, op = m.groups()
+        if op in ("parameter", "constant", "get-tuple-element", "bitcast",
+                  "tuple"):
+            continue
+        has_meta = META_RE.search(ln) is not None
+        if op != "copy" and has_meta:
+            continue  # only the unattributed layout/plumbing instructions
+        phys = 0
+        for dt, dims, lay in SHAPE_RE.findall(shapes_str):
+            phys += shape_bytes(dt, dims, lay)[0]
+        key = (op, SHAPE_RE.sub(lambda mm: f"{mm.group(1)}[{mm.group(2)}]",
+                                shapes_str))
+        rows[key] += phys
+        counts[key] += 1
+    print(f"\ntop {top} unattributed layout/plumbing buckets "
+          "(op, output shape -> physical GB x count):")
+    for (op, shape), p in rows.most_common(top):
+        print(f"  {op:12s} {shape:40s} {p/1e9:7.2f} GB  x{counts[(op, shape)]}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="XL")
@@ -44,6 +90,8 @@ def main():
     ap.add_argument("--height", type=int, default=1024)
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--copies", action="store_true",
+                    help="rank unattributed copy/plumbing buckets by shape")
     args = ap.parse_args()
 
     from s2m2_tpu.runtime.engine import cast_params, fp32_keep_paths
@@ -96,6 +144,8 @@ def main():
     print("\nby op kind (physical GB):")
     for op, p in by_op.most_common(10):
         print(f"  {op:24s} {p/1e9:8.2f}")
+    if args.copies:
+        classify_copies(comp.as_text(), top=args.top)
 
 
 def _quantized_call(fn, scales, x):

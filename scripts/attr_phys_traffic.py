@@ -60,7 +60,14 @@ def classify_copies(hlo_text, top=25):
         if depth <= 0:
             break
         s = ln.strip()
-        m = re.match(r"%?[\w.\-]+\s*=\s*(\([^)]*\)|[^\s]+)\s+(\w+)", s)
+        # ([\w\-]+): capture hyphenated opcodes whole, so the skip list
+        # matches `get-tuple-element` exactly and `copy-start`/`copy-done`
+        # stay distinct from `copy` (ADVICE r4)
+        # the shape group allows one level of nested parens (async-fusion
+        # outputs are tuples-of-tuples like ((bf16[...]), s32[]))
+        m = re.match(
+            r"%?[\w.\-]+\s*=\s*(\((?:[^()]|\([^()]*\))*\)|[^\s]+)\s+([\w\-]+)",
+            s)
         if not m:
             continue
         shapes_str, op = m.groups()
@@ -73,8 +80,13 @@ def classify_copies(hlo_text, top=25):
         phys = 0
         for dt, dims, lay in SHAPE_RE.findall(shapes_str):
             phys += shape_bytes(dt, dims, lay)[0]
-        key = (op, SHAPE_RE.sub(lambda mm: f"{mm.group(1)}[{mm.group(2)}]",
-                                shapes_str))
+        # keep the layout minor-to-major in the bucket key: copies of one
+        # logical shape with different assigned layouts are DIFFERENT
+        # relayout families with different padded sizes (ADVICE r4)
+        key = (op, SHAPE_RE.sub(
+            lambda mm: f"{mm.group(1)}[{mm.group(2)}]"
+                       + (f"{{{mm.group(3)}}}" if mm.group(3) else ""),
+            shapes_str))
         rows[key] += phys
         counts[key] += 1
     print(f"\ntop {top} unattributed layout/plumbing buckets "

@@ -83,7 +83,13 @@ def parse_entry(hlo_text):
         if depth <= 0:
             break
         s = ln.strip()
-        m = re.match(r"(%?[\w.\-]+)\s*=\s*(\([^)]*\)|[^\s]+)\s+(\w+)", s)
+        # op captures hyphenated opcodes too ([\w\-]+): with (\w+) alone,
+        # `get-tuple-element` parsed as `get` and bypassed the skip list
+        # below (charging full padded bytes to zero-traffic GTE aliasing),
+        # and `copy-start`/`copy-done` collapsed into `copy` (ADVICE r4)
+        m = re.match(
+            r"(%?[\w.\-]+)\s*=\s*(\((?:[^()]|\([^()]*\))*\)|[^\s]+)\s+([\w\-]+)",
+            s)
         if not m:
             continue
         name, shapes_str, op = m.groups()

@@ -28,23 +28,32 @@ from ..ops import flash_attention as _fa
 # families in-context regressed end-to-end FPS (custom calls break XLA's
 # fusion around the projections), so the default is XLA everywhere; flip per
 # family with set_use_pallas(self_attn=..., cross_attn=...) to experiment.
+# All toggles live in the central registry (s2m2_tpu/flags.py) so tests can
+# snapshot/restore them wholesale.
 import os as _os
 
+from .. import flags as _flags
+
 _env = _os.environ.get("S2M2_PALLAS_ATTN", "")
-_USE_PALLAS_SELF = _env in ("all", "self")
-_USE_PALLAS_CROSS = _env in ("all", "cross")
+_flags.define_value(
+    "pallas_self", _env in ("all", "self"), env="S2M2_PALLAS_ATTN",
+    doc="Pallas scanline self-attention kernel (measured counter-example)")
+_flags.define_value(
+    "pallas_cross", _env in ("all", "cross"), env="S2M2_PALLAS_ATTN",
+    doc="Pallas bidirectional cross-attention kernel (measured counter-ex.)")
 _MAX_PALLAS_SEQ = 768
 
 # bf16 storage for attention score/probability matrices. Softmax statistics
 # stay fp32 (the fp32-island invariant); only the HBM-resident NxN buffers
 # round to bf16 — halving the dominant MRT traffic. Parity impact is bounded
 # by tests/test_model_parity.py (golden) with the flag on.
-_BF16_SCORES = _os.environ.get("S2M2_BF16_SCORES", "1") == "1"
+_flags.define_env_bool(
+    "bf16_scores", "S2M2_BF16_SCORES", "1",
+    doc="bf16 storage for NxN attention score/prob matrices (default ON)")
 
 
 def set_bf16_scores(enabled: bool):
-    global _BF16_SCORES
-    _BF16_SCORES = bool(enabled)
+    _flags.set_flag("bf16_scores", enabled)
 
 
 def _score_dtype(compute_dtype):
@@ -55,7 +64,7 @@ def _score_dtype(compute_dtype):
     computing fp32 and casting, but XLA materializes no fp32 NxN buffer
     (measured: standalone f32[2,8,1216,1216] buffers when the cast is a
     separate op)."""
-    if _BF16_SCORES and compute_dtype != jnp.float32:
+    if _flags.get("bf16_scores") and compute_dtype != jnp.float32:
         return jnp.bfloat16
     return jnp.float32
 
@@ -67,17 +76,17 @@ def _softmax_scores(score, out_dtype):
 
 
 def set_use_pallas(enabled=None, *, self_attn=None, cross_attn=None):
-    global _USE_PALLAS_SELF, _USE_PALLAS_CROSS
     if enabled is not None:
-        _USE_PALLAS_SELF = _USE_PALLAS_CROSS = bool(enabled)
+        _flags.set_flag("pallas_self", enabled)
+        _flags.set_flag("pallas_cross", enabled)
     if self_attn is not None:
-        _USE_PALLAS_SELF = bool(self_attn)
+        _flags.set_flag("pallas_self", self_attn)
     if cross_attn is not None:
-        _USE_PALLAS_CROSS = bool(cross_attn)
+        _flags.set_flag("pallas_cross", cross_attn)
 
 
 def _pallas_ok(n, kind):
-    on = _USE_PALLAS_SELF if kind == "self" else _USE_PALLAS_CROSS
+    on = _flags.get("pallas_self" if kind == "self" else "pallas_cross")
     return (on and n <= _MAX_PALLAS_SEQ
             and jax.default_backend() not in ("cpu",))
 
@@ -216,12 +225,13 @@ def cross_attn(p, x, y, num_heads):
 # layout). Measured on v5e XL@1216x1024 int8: 3.141 vs 3.086 FPS same-day
 # (+1.8%; best recorded for the row) — DEFAULT ON. S2M2_ATTN_4D=0 restores
 # the fold path (heads>1 blocks always use it).
-_ATTN_4D = _os.environ.get("S2M2_ATTN_4D", "1") == "1"
+_flags.define_env_bool(
+    "attn_4d", "S2M2_ATTN_4D", "1",
+    doc="heads==1 scanline attention on the 4D block shape (default ON)")
 
 
 def set_attn_4d(enabled: bool):
-    global _ATTN_4D
-    _ATTN_4D = bool(enabled)
+    _flags.set_flag("attn_4d", enabled)
 
 
 def _self_attn_4d(p, zn, z):
@@ -267,7 +277,8 @@ def self_attn_block_1d(p, z, num_heads, store=False):
     z = _q.residual_load(z)
     b, h, w, c = z.shape
     # Pallas opt-ins need the folded (B*H, W, C) form — keep them reachable
-    if _ATTN_4D and num_heads == 1 and not _USE_PALLAS_SELF:
+    if (_flags.get("attn_4d") and num_heads == 1
+            and not _flags.get("pallas_self")):
         out = _self_attn_4d(p["attn"], layers.layer_norm(z), z)
     else:
         zf = z.reshape(b * h, w, c)
@@ -288,7 +299,8 @@ def cross_attn_block_1d(p, z, num_heads, store=False):
     z = _q.residual_load(z)
     b2, h, w, c = z.shape
     # Pallas opt-ins need the folded (B*H, W, C) form — keep them reachable
-    if _ATTN_4D and num_heads == 1 and not _USE_PALLAS_CROSS:
+    if (_flags.get("attn_4d") and num_heads == 1
+            and not _flags.get("pallas_cross")):
         out = _cross_attn_4d(p["attn"], layers.layer_norm(z), z)
     else:
         zf = layers.layer_norm(z).reshape(b2 * h, w, c)

@@ -29,13 +29,15 @@ _CONV_DN = ("NHWC", "HWIO", "NHWC")
 # flip-flopping between conv-tiled and dot-tiled buffers at attention
 # boundaries (the 8.6 GB of layout-copy HLO in the round-2 MRT census).
 # Env-gated until measured on the target chip: S2M2_DOT_1X1=1 to enable.
-import os as _os
-_DOT_1X1 = _os.environ.get("S2M2_DOT_1X1", "0") == "1"
+from .. import flags as _flags
+
+_flags.define_env_bool(
+    "dot_1x1", "S2M2_DOT_1X1", "0",
+    doc="1x1 stride-1 convs as token dots (measured -2% counter-example)")
 
 
 def set_dot_1x1(enabled: bool):
-    global _DOT_1X1
-    _DOT_1X1 = bool(enabled)
+    _flags.set_flag("dot_1x1", enabled)
 
 
 def gelu(x):
@@ -81,7 +83,7 @@ def conv2d(p, x, stride=1, padding=None):
         # inputs are upcast rather than the weights rounded down. Output
         # stays fp32 so downstream softmax/logit consumers skip a rounding.
         x = x.astype(jnp.float32)
-    if (_DOT_1X1 and kh == 1 and kw == 1 and s == (1, 1)
+    if (_flags.get("dot_1x1") and kh == 1 and kw == 1 and s == (1, 1)
             and pad == [(0, 0), (0, 0)]):
         y = jnp.einsum("bhwc,co->bhwo", x, w[0, 0].astype(x.dtype),
                        preferred_element_type=x.dtype)
@@ -174,7 +176,7 @@ def group_norm(p, x, num_groups=8, eps=1e-5):
     scale = lax.rsqrt(var + eps)                       # (b,1,1,g,1) fp32
     wgt = p["weight"].astype(jnp.float32).reshape(1, 1, 1, g, c // g)
     bias = p["bias"].astype(jnp.float32).reshape(1, 1, 1, g, c // g)
-    if _GN_AFFINE:
+    if _flags.get("gn_affine"):
         a = scale * wgt                                # (b,1,1,g,c/g)
         d = bias - mean * a
         y = xf * a + d
@@ -187,12 +189,13 @@ def group_norm(p, x, num_groups=8, eps=1e-5):
 # flag-based (the repo convention for measured experiments):
 #   S2M2_GN_AFFINE=0  -> naive ((x-mean)*rsqrt)*w+b group-norm application
 #   S2M2_S2D_SLICES=0 -> reshape/transpose space_to_depth (packing.py)
-_GN_AFFINE = _os.environ.get("S2M2_GN_AFFINE", "1") == "1"
+_flags.define_env_bool(
+    "gn_affine", "S2M2_GN_AFFINE", "1",
+    doc="group-norm as precomputed per-group affine (default ON)")
 
 
 def set_gn_affine(enabled: bool):
-    global _GN_AFFINE
-    _GN_AFFINE = bool(enabled)
+    _flags.set_flag("gn_affine", enabled)
 
 
 def avg_pool2d(x, k=2):

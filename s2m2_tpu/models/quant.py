@@ -43,6 +43,8 @@ import threading
 import jax.numpy as jnp
 from jax import lax
 
+from .. import flags as _flags
+
 _state = threading.local()
 
 
@@ -81,7 +83,8 @@ def observe(aligned=None, skip_fp32=False, residency=False, percentile=None):
     prev = (s.mode, s.observed, s.aligned, s.skip_fp32, s.residency,
             s.percentile)
     s.mode, s.observed = "observe", []
-    s.aligned = _ALIGNED_ONLY if aligned is None else bool(aligned)
+    s.aligned = (_flags.get("int8_aligned") if aligned is None
+                 else bool(aligned))
     s.skip_fp32 = bool(skip_fp32)
     s.residency = bool(residency)
     s.percentile = None if percentile is None else float(percentile)
@@ -100,7 +103,8 @@ def quantized(scales, aligned=None, skip_fp32=False, residency=False):
     s = _ctx()
     prev = (s.mode, s.scales, s.cursor, s.aligned, s.skip_fp32, s.residency)
     s.mode, s.scales, s.cursor = "quantize", [float(v) for v in scales], 0
-    s.aligned = _ALIGNED_ONLY if aligned is None else bool(aligned)
+    s.aligned = (_flags.get("int8_aligned") if aligned is None
+                 else bool(aligned))
     s.skip_fp32 = bool(skip_fp32)
     s.residency = bool(residency)
     try:
@@ -115,9 +119,8 @@ def quantized(scales, aligned=None, skip_fp32=False, residency=False):
 
 
 def dot_1x1() -> bool:
-    """Mirror layers._DOT_1X1 (set after import; read lazily)."""
-    from . import layers
-    return layers._DOT_1X1
+    """The layers.py 1x1-as-dot toggle (central registry; read lazily)."""
+    return _flags.get("dot_1x1")
 
 
 # Alignment-aware site policy ("int8a" engine precision): quantize only GEMMs
@@ -126,14 +129,15 @@ def dot_1x1() -> bool:
 # waste more on the padded channel dim than the 2x peak recovers: 4.48 vs 5.46
 # FPS bf16 @1216x1024) while its 2C=384 GEMMs tile perfectly. Per-site
 # selection keeps the aligned wins without the misaligned losses.
-_ALIGNED_ONLY = __import__("os").environ.get("S2M2_INT8_ALIGNED", "0") == "1"
+_flags.define_env_bool(
+    "int8_aligned", "S2M2_INT8_ALIGNED", "0", calib_contract=True,
+    doc="int8 only on 128-lane-aligned GEMMs (the int8a site policy)")
 
 
 def set_int8_aligned(enabled: bool):
     """Restrict int8 to 128-lane-aligned GEMMs. Must not change between
     calibration and inference (site count)."""
-    global _ALIGNED_ONLY
-    _ALIGNED_ONLY = bool(enabled)
+    _flags.set_flag("int8_aligned", enabled)
 
 
 def _quantizable(w_shape_in, cout, cin=None, aligned=None) -> bool:
@@ -145,7 +149,8 @@ def _quantizable(w_shape_in, cout, cin=None, aligned=None) -> bool:
         return False
     if aligned is None:
         s = _ctx()
-        aligned = s.aligned if s.mode is not None else _ALIGNED_ONLY
+        aligned = (s.aligned if s.mode is not None
+                   else _flags.get("int8_aligned"))
     if aligned:
         c_in = w_shape_in if cin is None else cin
         return c_in % 128 == 0 and cout % 128 == 0
@@ -303,7 +308,7 @@ def conv2d_maybe_quantized(x, p, strides, padding, dn):
         w_q, s_w = w, p["w_scale"]
     else:
         w_q, s_w = _quantize_weight(w, (0, 1, 2))  # -> s_w (1,1,1,O)
-    acc_t = jnp.bfloat16 if _ACC_BF16 else jnp.int32
+    acc_t = jnp.bfloat16 if _flags.get("int8_acc_bf16") else jnp.int32
     if kh == kw == 1 and strides == (1, 1) and dot_1x1():
         acc = jnp.einsum("bhwc,co->bhwo", x_q, w_q[0, 0],
                          preferred_element_type=acc_t)
@@ -312,13 +317,17 @@ def conv2d_maybe_quantized(x, p, strides, padding, dn):
             x_q, w_q, window_strides=strides, padding=padding,
             dimension_numbers=dn, preferred_element_type=acc_t)
     scale = s_w.reshape(1, 1, 1, -1) * s_x
-    if _ACC_BF16:
+    if _flags.get("int8_acc_bf16"):
         return acc * scale.astype(jnp.bfloat16)
     return acc.astype(jnp.float32) * scale
 
 
-_INT8_ATTN = __import__("os").environ.get("S2M2_INT8_ATTN", "0") == "1"
-_ACC_BF16 = __import__("os").environ.get("S2M2_INT8_ACC_BF16", "0") == "1"
+_flags.define_env_bool(
+    "int8_attn", "S2M2_INT8_ATTN", "0", calib_contract=True,
+    doc="quantized attention internals (measured -2.4% counter-example)")
+_flags.define_env_bool(
+    "int8_acc_bf16", "S2M2_INT8_ACC_BF16", "0", calib_contract=True,
+    doc="int8 GEMMs emit bf16 accumulators (measured neutral opt-in)")
 
 
 def set_acc_bf16(enabled: bool):
@@ -342,8 +351,7 @@ def set_acc_bf16(enabled: bool):
     on the golden fixtures (tests/test_quant.py::test_int8_acc_bf16_drift).
     The flag must not change between calibration and inference runs that
     share an engine (site counts are unaffected, but programs differ)."""
-    global _ACC_BF16
-    _ACC_BF16 = bool(enabled)
+    _flags.set_flag("int8_acc_bf16", enabled)
 
 
 def set_int8_attn(enabled: bool):
@@ -355,8 +363,7 @@ def set_int8_attn(enabled: bool):
     (-2.4%): the extra quantize/requant elementwise passes cost more than
     the halved NxN traffic saves at these shapes. Kept as a tested opt-in
     (drift-bounded by tests/test_quant.py::test_int8_drift_on_golden)."""
-    global _INT8_ATTN
-    _INT8_ATTN = bool(enabled)
+    _flags.set_flag("int8_attn", enabled)
 
 
 def sdpa_maybe_quantized(q, k, v):
@@ -371,7 +378,7 @@ def sdpa_maybe_quantized(q, k, v):
     import jax
 
     s = _ctx()
-    if s.mode is None or not _INT8_ATTN:
+    if s.mode is None or not _flags.get("int8_attn"):
         return None
     if s.mode == "observe":
         _record_amax(q)
@@ -392,6 +399,45 @@ def sdpa_maybe_quantized(q, k, v):
     out = jnp.einsum("bhij,bhjc->bhic", p_q, v_q,
                      preferred_element_type=jnp.int32)
     return (out.astype(jnp.float32) * (pmax * (s_v / 127.0))).astype(v.dtype)
+
+
+def linear_heads_maybe_quantized(x, p, nh, d):
+    """int8 path for the head-merging projection of the multi-head 4D
+    attention (layers.linear_merge_heads): x (..., nh, i, d) contracted
+    with p['weight'] (nh*d, out) viewed as (nh, d, out) — the head-merge
+    transpose is folded into the contraction, so no (n, i) relayout copy
+    is ever materialized. Same site semantics as linear_maybe_quantized
+    (ONE activation site)."""
+    s = _ctx()
+    w = p["weight"]
+    cin, cout = w.shape
+    prequant = "w_scale" in p
+    shared = isinstance(x, SharedQuantInput)
+    if s.mode is None or not (prequant or _quantizable(cin, cout, cin)):
+        return None
+    if s.skip_fp32 and not prequant and w.dtype == jnp.float32:
+        return None  # fp32-island head (engine cast policy) — stays float
+    if s.mode == "observe":
+        if not shared:
+            _record_amax(x)
+        return None
+    if shared:
+        s_x, x_q = x.scale, x.q
+    else:
+        s_x = _next_scale()
+        x_q = _quantize_input(x, s_x)
+    if prequant:
+        w_q, s_w = w, p["w_scale"]
+    else:
+        w_q, s_w = _quantize_weight(w, (0,))  # -> s_w (1, out)
+    wr = w_q.reshape(nh, d, cout)
+    if _flags.get("int8_acc_bf16"):
+        acc = jnp.einsum("...nid,ndo->...io", x_q, wr,
+                         preferred_element_type=jnp.bfloat16)
+        return acc * (s_w.reshape(1, -1)[0] * s_x).astype(jnp.bfloat16)
+    acc = jnp.einsum("...nid,ndo->...io", x_q, wr,
+                     preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (s_w.reshape(1, -1)[0] * s_x)
 
 
 def linear_maybe_quantized(x, p):
@@ -419,7 +465,7 @@ def linear_maybe_quantized(x, p):
         w_q, s_w = w, p["w_scale"]
     else:
         w_q, s_w = _quantize_weight(w, (0,))  # -> s_w (1, out)
-    if _ACC_BF16:
+    if _flags.get("int8_acc_bf16"):
         acc = jnp.einsum("...i,io->...o", x_q, w_q,
                          preferred_element_type=jnp.bfloat16)
         return acc * (s_w.reshape(1, -1)[0] * s_x).astype(jnp.bfloat16)

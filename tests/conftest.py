@@ -20,3 +20,14 @@ import pytest  # noqa: E402
 def rng():
     import numpy as np
     return np.random.default_rng(1234)
+
+
+@pytest.fixture(autouse=True)
+def _flag_guard():
+    """Snapshot/restore the central flag registry around EVERY test — a
+    test that flips a measured-experiment flag can no longer leak it into
+    later tests (the d93a70d leak class, VERDICT r4 weak #5)."""
+    from s2m2_tpu import flags
+    snap = flags.snapshot()
+    yield
+    flags.restore(snap)

@@ -167,7 +167,6 @@ def test_scanline_block_4d_matches_fold(rng):
     # path (and the prior value restored, not hardcoded, so the rest of the
     # suite keeps running the shipped default) — otherwise this test compares
     # the 4D path against itself.
-    saved = attention._ATTN_4D
     try:
         attention.set_attn_4d(False)
         ref_cross = attention.cross_attn_block_1d(p, jnp.asarray(z), 1)
@@ -176,7 +175,9 @@ def test_scanline_block_4d_matches_fold(rng):
         got_cross = attention.cross_attn_block_1d(p, jnp.asarray(z), 1)
         got_self = attention.self_attn_block_1d(p, jnp.asarray(z), 1)
     finally:
-        attention.set_attn_4d(saved)
+        # conftest's autouse _flag_guard restores the registry; explicit
+        # restore here keeps the test self-contained as well
+        attention.set_attn_4d(True)
     np.testing.assert_allclose(np.asarray(got_cross), np.asarray(ref_cross),
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_self), np.asarray(ref_self),
@@ -205,6 +206,6 @@ def test_pallas_self_flag_does_not_leak_into_4d_cross(rng, monkeypatch):
     monkeypatch.setattr(attention, "_pallas_ok",
                         lambda n, kind: kind == "self")
     monkeypatch.setattr(attention._fa, "scanline_attention", boom)
-    monkeypatch.setattr(attention, "_USE_PALLAS_SELF", True)
+    attention.set_use_pallas(self_attn=True)  # _flag_guard restores
     got = np.asarray(attention.cross_attn_block_1d(p, jnp.asarray(z), 1))
     np.testing.assert_allclose(got, ref, atol=1e-6)

@@ -73,7 +73,7 @@ def test_cross_attn_packed_pallas_dispatch_multihead(monkeypatch):
          "proj": {"weight": r(8, 8)}}
     ref = A.cross_attn(p, x, y, 2)
 
-    monkeypatch.setattr(A, "_USE_PALLAS_CROSS", True)
+    A.set_use_pallas(cross_attn=True)  # conftest _flag_guard restores
     fake = um.MagicMock(scanline_cross_attention=functools.partial(
         fa.scanline_cross_attention, interpret=True))
     monkeypatch.setattr(A, "_fa", fake)

@@ -239,28 +239,41 @@ class StereoEngine:
         a, b = a[:, ::step, ::step], b[:, ::step, ::step]
         self.calibrate(image_pad(a), image_pad(b))
 
-    # A real stereo pair for calibrating synthetic-input benchmarks (the
-    # reference repo's bundled Web sample). Uniform noise has no disparity
-    # structure, so it under-drives the matching/refine activations; a real
-    # pair gives representative scales at zero cost when reachable.
-    _CALIB_PAIR = ("/root/reference/data/samples/Web/0025_L.png",
-                   "/root/reference/data/samples/Web/0025_R.png")
-
     def _benchmark_calib_pair(self):
-        """(left, right) as (1,H,W,3) float arrays — the bundled real pair
-        when present, else None (callers fall back to noise)."""
+        """(left, right) as (1,H,W,3) float arrays for calibrating
+        synthetic-input benchmarks. Uniform noise has no disparity
+        structure, so it under-drives the matching/refine activations; a
+        structured pair gives representative scales.
+
+        Source is explicit and machine-independent (round-4 verdict: the
+        old default silently read the reference checkout, so benchmark int8
+        scales differed by machine): S2M2_CALIB_PAIR="left.png:right.png"
+        points at a real rectified pair (missing files raise, never
+        silently fall back); unset, a DETERMINISTIC synthetic scene from
+        the training generator (train/data.py::_random_scene, pinned seed)
+        is used. Either way a loud log line records the choice."""
+        import logging
         import os
-        lp, rp = self._CALIB_PAIR
-        if not (os.path.exists(lp) and os.path.exists(rp)):
-            return None
-        try:
-            import cv2
-            l = cv2.cvtColor(cv2.imread(lp), cv2.COLOR_BGR2RGB)
-            r = cv2.cvtColor(cv2.imread(rp), cv2.COLOR_BGR2RGB)
-        except Exception:
-            return None
-        return (np.asarray(l, np.float32)[None],
-                np.asarray(r, np.float32)[None])
+        log = logging.getLogger("s2m2_tpu.engine")
+        spec = os.environ.get("S2M2_CALIB_PAIR")
+        if spec:
+            lp, _, rp = spec.partition(":")
+            if not (os.path.exists(lp) and os.path.exists(rp)):
+                raise FileNotFoundError(
+                    f"S2M2_CALIB_PAIR points at missing files: {spec!r}")
+            from ..utils.image import read_images
+            l, r = read_images(lp, rp)
+            log.warning("int8 benchmark calibration pair: %s : %s", lp, rp)
+            return (np.asarray(l, np.float32)[None],
+                    np.asarray(r, np.float32)[None])
+        log.warning(
+            "int8 benchmark calibration: built-in deterministic synthetic "
+            "scene (train.data._random_scene, seed 7); set "
+            "S2M2_CALIB_PAIR=left.png:right.png to calibrate on real data")
+        from ..train.data import _random_scene
+        l, r, _ = _random_scene(np.random.default_rng(7), 512, 608,
+                                max_disp=96)
+        return l[None], r[None]
 
     @functools.cached_property
     def _jitted(self):
@@ -381,12 +394,7 @@ class StereoEngine:
         b = jnp.asarray(rng.uniform(0, 255, (batch, height, width, 3)),
                         self.compute_dtype)
         if self.quantize and self.quant_scales is None:
-            pair = self._benchmark_calib_pair()
-            if pair is not None:
-                self._auto_calibrate(*pair)
-            else:
-                self._auto_calibrate(np.asarray(a, np.float32),
-                                     np.asarray(b, np.float32))
+            self._auto_calibrate(*self._benchmark_calib_pair())
         dt, _ = run_chained(self._chained, self._run_params, a, b,
                             n_iter=n_iter, n_warmup=n_warmup)
         return dict(seconds_per_frame=dt / batch, fps=batch / dt,

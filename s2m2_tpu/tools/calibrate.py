@@ -14,8 +14,9 @@ reference: demo/export_tensorrt.py).
   eng = StereoEngine("S", checkpoint=..., precision="int8")
   eng.load_calibration("s_calib.npy")   # no calibration pass at serve time
 
-With no --images, calibrates on the bundled reference sample pair (or
-synthetic noise as a last resort).
+With no --images, calibrates on the engine's built-in deterministic
+synthetic scene (the same source benchmark auto-calibration uses —
+machine-independent; pass --images for real data).
 """
 from __future__ import annotations
 
@@ -23,9 +24,6 @@ import argparse
 import sys
 
 import numpy as np
-
-REF_SAMPLES = ("/root/reference/data/samples/Web/0025_L.png",
-               "/root/reference/data/samples/Web/0025_R.png")
 
 
 def calibrate_engine(engine, image_pairs=None, max_hw=512):
@@ -68,10 +66,6 @@ def main(argv=None):
 
     pairs = []
     paths = args.images
-    if not paths:
-        import os
-        if all(os.path.exists(p) for p in REF_SAMPLES):
-            paths = list(REF_SAMPLES)
     if paths:
         if len(paths) % 2:
             ap.error("--images takes an even number of paths (L R L R ...)")
@@ -80,6 +74,8 @@ def main(argv=None):
 
     eng = StereoEngine(args.model, checkpoint=args.checkpoint,
                        precision="int8", refine_iter=args.num_refine)
+    if not pairs:
+        pairs = [tuple(x[0] for x in eng._benchmark_calib_pair())]
     calibrate_engine(eng, pairs, max_hw=args.max_hw)
     eng.save_calibration(args.out)
     print(f"saved {len(eng.quant_scales)} scales -> {args.out}")

@@ -229,9 +229,94 @@ _flags.define_env_bool(
     "attn_4d", "S2M2_ATTN_4D", "1",
     doc="heads==1 scanline attention on the 4D block shape (default ON)")
 
+# Multi-head extension of the no-fold 4D path: heads become PER-HEAD WEIGHT
+# COLUMN SLICES, each head an independent (B,R,W,d) sdpa on the 4D block
+# shape, with the head-merge concat folded into the output projection as a
+# sum of per-head row-sliced dots (concat-contraction identity). Candidate
+# layouts were compile-censused at the real XL z1/z2 shapes
+# (scripts/probe_mh4d.py, reads+writes, 2 blocks + FFN):
+#   z1 (2,128,152,384) h=2: fold 2.825 GB, heads-batched-5D 2.286,
+#     SLICED 2.099 (-26% — the bf16[256,152,2,192] transpose pairs and
+#     bf16[256,152,384] fold relayouts of the round-4 copy census vanish);
+#   z2 (2,64,76,768) h=4: fold 1.389, SLICED 1.470 (the nh x 3 re-reads of
+#     zn outweigh the copies saved at the smaller spatial size; a per-head
+#     fused-qkv variant censuses 1.274 but regresses z1 to 3.245, and the
+#     z1 family is ~2x the z2 family, so one uniform sliced path is kept).
+# The heads-as-second-dot-batch-dim forms (nhd/hnd) LOSE everywhere —
+# consistent with the round-3 "+3.9 GB head axis in place" counter-example.
+# Full-forward census (attr_phys_traffic --int8): copies 21.9 -> 18.6 GB,
+# total 131.2 -> 128.6 GB, the bf16[256,152,384]x36 fold bucket gone.
+# Measured e2e on v5e XL@1216x1024 int8, same-session A/B: 3.173 vs 3.114
+# FPS (+1.9%) — DEFAULT ON. S2M2_ATTN_4D_MH=0 restores the fold path.
+_flags.define_env_bool(
+    "attn_4d_mh", "S2M2_ATTN_4D_MH", "1", calib_contract=True,
+    doc="heads>1 scanline attention as per-head sliced 4D sdpa (no fold)")
+
 
 def set_attn_4d(enabled: bool):
     _flags.set_flag("attn_4d", enabled)
+
+
+def set_attn_4d_mh(enabled: bool):
+    _flags.set_flag("attn_4d_mh", enabled)
+
+
+def _head_cols(p, sl):
+    """Column-sliced linear params for one head (q/k/v projections). Slices
+    are trace-time views of the weight/bias/w_scale — per-output-channel
+    int8 weight scales slice with their columns."""
+    out = {"weight": p["weight"][:, sl]}
+    if "bias" in p and p["bias"] is not None:
+        out["bias"] = p["bias"][sl]
+    if "w_scale" in p:
+        out["w_scale"] = p["w_scale"][:, sl]
+    return out
+
+
+def _head_rows(p, sl):
+    """Row-sliced output-projection params for one head: y = sum_h out_h @
+    W[h*d:(h+1)*d, :] == concat(out_h) @ W. w_scale is per-OUTPUT-channel,
+    so it rides whole; the (full-width) bias is added once by the caller."""
+    out = {"weight": p["weight"][sl, :]}
+    if "w_scale" in p:
+        out["w_scale"] = p["w_scale"]
+    return out
+
+
+def _attn_4d_sliced(p, zn, num_heads, cross_b0=None):
+    """Multi-head scanline attention on the 4D (B, R, W, C) block shape via
+    per-head weight slices; returns the pre-residual projection output.
+    cross_b0: None for self attention; for the packed cross form, the
+    half-batch index at which the right view starts (the x<->y swap is two
+    batch-axis slices per head, as in _cross_attn_4d)."""
+    from . import quant as _q
+    if _q.active():
+        zn = _q.share_gemm_input(zn)
+        # full-weight prequantization BEFORE slicing: keeps per-head slices
+        # bit-identical to an offline-quantized tree and gates
+        # quantizability by the FULL weight shape in observe and quantize
+        # modes alike (see quant.prequantize_linear)
+        p = {k: (_q.prequantize_linear(v) if k in ("q", "k", "v", "proj")
+                 else v) for k, v in p.items()}
+    d = p["q"]["weight"].shape[1] // num_heads
+    acc = None
+    for h in range(num_heads):
+        sl = slice(h * d, (h + 1) * d)
+        q = layers.linear(_head_cols(p["q"], sl), zn)
+        k = layers.linear(_head_cols(p["k"], sl), zn)
+        v = layers.linear(_head_cols(p["v"], sl), zn)
+        if cross_b0 is None:
+            out = sdpa(q, k, v, allow_pallas=False)
+        else:
+            b0 = cross_b0
+            out = jnp.concatenate(
+                [sdpa(q[:b0], k[b0:], v[b0:], allow_pallas=False),
+                 sdpa(q[b0:], k[:b0], v[:b0], allow_pallas=False)], axis=0)
+        y = layers.linear(_head_rows(p["proj"], sl), out)
+        acc = y if acc is None else acc + y
+    if "bias" in p["proj"] and p["proj"]["bias"] is not None:
+        acc = acc + p["proj"]["bias"].astype(acc.dtype)
+    return acc
 
 
 def _self_attn_4d(p, zn, z):
@@ -280,6 +365,9 @@ def self_attn_block_1d(p, z, num_heads, store=False):
     if (_flags.get("attn_4d") and num_heads == 1
             and not _flags.get("pallas_self")):
         out = _self_attn_4d(p["attn"], layers.layer_norm(z), z)
+    elif (_flags.get("attn_4d") and _flags.get("attn_4d_mh")
+          and not _flags.get("pallas_self")):
+        out = _attn_4d_sliced(p["attn"], layers.layer_norm(z), num_heads) + z
     else:
         zf = z.reshape(b * h, w, c)
         out = (self_attn(p["attn"], layers.layer_norm(zf), num_heads)
@@ -302,6 +390,10 @@ def cross_attn_block_1d(p, z, num_heads, store=False):
     if (_flags.get("attn_4d") and num_heads == 1
             and not _flags.get("pallas_cross")):
         out = _cross_attn_4d(p["attn"], layers.layer_norm(z), z)
+    elif (_flags.get("attn_4d") and _flags.get("attn_4d_mh")
+          and not _flags.get("pallas_cross")):
+        out = _attn_4d_sliced(p["attn"], layers.layer_norm(z), num_heads,
+                              cross_b0=b2 // 2) + z
     else:
         zf = layers.layer_norm(z).reshape(b2 * h, w, c)
         out = cross_attn_packed(p["attn"], zf, b2 * h // 2, num_heads)

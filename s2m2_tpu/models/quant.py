@@ -401,6 +401,34 @@ def sdpa_maybe_quantized(q, k, v):
     return (out.astype(jnp.float32) * (pmax * (s_v / 127.0))).astype(v.dtype)
 
 
+def prequantize_linear(p):
+    """Trace-time full-weight quantization for a linear that will be SLICED
+    per head (attention._attn_4d_sliced). Slicing breaks the prequant/runtime
+    symmetry two ways: (a) quantizability would be gated by the SLICED dims
+    at runtime but the FULL dims offline (at z2 under the aligned policy the
+    cout=96 head slice fails while the full 384 passes — the quantized
+    forward then consumes sites observe never recorded), and (b) row slices
+    of the proj would get per-slice weight scales at runtime but global
+    scales offline. Quantizing the FULL weight here — in observe AND
+    quantize modes — makes every sliced consumer see prequant semantics
+    gated by the full shape, bit-identical to quantize_params_tree.
+    Returns p unchanged outside a quant context / for non-qualifying or
+    already-prequantized weights."""
+    s = _ctx()
+    if s.mode is None or "w_scale" in p:
+        return p
+    w = p["weight"]
+    cin, cout = w.shape
+    if not _quantizable(cin, cout, cin):
+        return p
+    if s.skip_fp32 and w.dtype == jnp.float32:
+        return p  # fp32-island head (engine cast policy) — stays float
+    w_q, s_w = _quantize_weight(w, (0,))
+    out = dict(p)
+    out["weight"], out["w_scale"] = w_q, s_w
+    return out
+
+
 def linear_heads_maybe_quantized(x, p, nh, d):
     """int8 path for the head-merging projection of the multi-head 4D
     attention (layers.linear_merge_heads): x (..., nh, i, d) contracted

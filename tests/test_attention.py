@@ -209,3 +209,45 @@ def test_pallas_self_flag_does_not_leak_into_4d_cross(rng, monkeypatch):
     attention.set_use_pallas(self_attn=True)  # _flag_guard restores
     got = np.asarray(attention.cross_attn_block_1d(p, jnp.asarray(z), 1))
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_scanline_block_4d_mh_matches_fold(rng):
+    """S2M2_ATTN_4D_MH runs heads>1 scanline attention as per-head sliced
+    4D sdpa (weight column slices; head-merge folded into the proj as a sum
+    of row-sliced dots) — same floats as the fold + split_heads path."""
+    B, H, W, C, heads = 2, 5, 12, 32, 4
+    z = rng.standard_normal((2 * B, H, W, C), dtype=np.float32)
+    p = {"attn": {
+        "q": _linear_params(rng, C, C, False)[0],
+        "k": _linear_params(rng, C, C, False)[0],
+        "v": _linear_params(rng, C, C, True)[0],
+        "proj": _linear_params(rng, C, C, False)[0]}}
+    # the mh flag defaults ON — force the fold path for the reference
+    # (conftest's autouse _flag_guard restores the registry afterwards)
+    attention.set_attn_4d_mh(False)
+    ref_cross = attention.cross_attn_block_1d(p, jnp.asarray(z), heads)
+    ref_self = attention.self_attn_block_1d(p, jnp.asarray(z), heads)
+    attention.set_attn_4d_mh(True)
+    got_cross = attention.cross_attn_block_1d(p, jnp.asarray(z), heads)
+    got_self = attention.self_attn_block_1d(p, jnp.asarray(z), heads)
+    np.testing.assert_allclose(np.asarray(got_cross), np.asarray(ref_cross),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_self), np.asarray(ref_self),
+                               atol=1e-5)
+
+
+def test_scanline_block_4d_mh_dim_expansion(rng):
+    """Sliced-head path with dim_expansion e>1: head dim = e*C//heads; the
+    proj row slices must follow the EXPANDED width."""
+    B, H, W, C, heads, e = 1, 3, 10, 16, 2, 2
+    z = rng.standard_normal((2 * B, H, W, C), dtype=np.float32)
+    p = {"attn": {
+        "q": _linear_params(rng, C, e * C, False)[0],
+        "k": _linear_params(rng, C, e * C, False)[0],
+        "v": _linear_params(rng, C, e * C, True)[0],
+        "proj": _linear_params(rng, e * C, C, False)[0]}}
+    attention.set_attn_4d_mh(False)
+    ref = attention.self_attn_block_1d(p, jnp.asarray(z), heads)
+    attention.set_attn_4d_mh(True)
+    got = attention.self_attn_block_1d(p, jnp.asarray(z), heads)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)

@@ -14,13 +14,31 @@ already lives on the half-res grid. Identical floats up to reassociation
 from __future__ import annotations
 
 from . import layers
-from .packing import pack_pointwise, pack_strided_conv, space_to_depth
+from .packing import (pack_pointwise, pack_pointwise_s2d, pack_strided_conv,
+                      space_to_depth)
+from .. import flags as _flags
+
+# Fold space_to_depth into the stem's first conv as a 2x2/s2 strided conv
+# on the raw input (packing.pack_pointwise_s2d): the packed intermediate
+# and its 6D-reshape relayout never materialize. Exactness asserted in
+# tests/test_packing.py; e2e measurement recorded with the flag doc below.
+_flags.define_env_bool(
+    "s2d_in_conv", "S2M2_S2D_IN_CONV", "0",
+    doc="fold stem space_to_depth into the first conv's access pattern")
+
+
+def set_s2d_in_conv(enabled: bool):
+    _flags.set_flag("s2d_in_conv", enabled)
 
 
 def cnn_encoder(p, x):
     """x: (B, H, W, 3) normalized images. Returns (x_4x, x_2x)."""
-    xp = space_to_depth(x)  # (B, H/2, W/2, 12)
-    h = layers.conv2d(pack_pointwise(p["conv0"]["0"]), xp)
+    if _flags.get("s2d_in_conv"):
+        h = layers.conv2d(pack_pointwise_s2d(p["conv0"]["0"]), x,
+                          stride=2, padding=0)
+    else:
+        xp = space_to_depth(x)  # (B, H/2, W/2, 12)
+        h = layers.conv2d(pack_pointwise(p["conv0"]["0"]), xp)
     h = layers.conv2d(pack_pointwise(p["conv0"]["2"]), layers.gelu(h))
 
     # 5x5/s2 16->64 == 3x3 64->64 on the packed grid (output is half-res)

@@ -65,6 +65,29 @@ def depth_to_space(x):
     return x.reshape(b, 2 * hp, 2 * wp, c)
 
 
+def pack_pointwise_s2d(p):
+    """1x1 conv params -> a 2x2/stride-2 conv on the RAW full-res input that
+    computes conv1x1_blockdiag(space_to_depth(x)) in one op — the
+    space-to-depth becomes the conv's strided access pattern, so the packed
+    intermediate (and its 6D reshape/transpose relayout, 2.1 GB physical
+    for a 30 MB logical tensor on the XL stem, round-4 attribution) never
+    materializes. Output channel group ph=(a*2+b2) reads only tap (a,b2):
+    wp[a, b2, ci, ph*cout + co] = w[0, 0, ci, co]. Apply with
+    conv2d(stride=2, padding=0); identical floats to the two-op form
+    (asserted in tests/test_packing.py)."""
+    w = p["weight"]  # (1, 1, Cin, Cout)
+    cin, cout = w.shape[2], w.shape[3]
+    wp = jnp.zeros((2, 2, cin, 4 * cout), w.dtype)
+    for a in range(2):
+        for b2 in range(2):
+            ph = a * 2 + b2
+            wp = wp.at[a, b2, :, ph * cout:(ph + 1) * cout].set(w[0, 0])
+    out = {"weight": wp}
+    if "bias" in p and p["bias"] is not None:
+        out["bias"] = jnp.tile(p["bias"], 4)
+    return out
+
+
 def _phase_of(u):
     """Full-res tap offset u -> (packed offset, phase)."""
     a = u % 2

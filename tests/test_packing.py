@@ -178,3 +178,37 @@ def test_s2d_slices_variant_exact(rng):
     finally:
         packing.set_s2d_slices(False)
     np.testing.assert_array_equal(got, ref)
+
+
+def test_pack_pointwise_s2d_exact(rng):
+    """Folding space_to_depth into a 2x2/s2 conv computes the SAME floats
+    as conv1x1_blockdiag(space_to_depth(x)) — the packed intermediate never
+    materializes."""
+    import jax.numpy as jnp
+    from s2m2_tpu.models import layers
+    from s2m2_tpu.models.packing import (pack_pointwise, pack_pointwise_s2d,
+                                         space_to_depth)
+
+    x = jnp.asarray(rng.standard_normal((2, 16, 20, 3)), jnp.float32)
+    p = {"weight": jnp.asarray(rng.standard_normal((1, 1, 3, 16)),
+                               jnp.float32),
+         "bias": jnp.asarray(rng.standard_normal((16,)), jnp.float32)}
+    ref = layers.conv2d(pack_pointwise(p), space_to_depth(x))
+    got = layers.conv2d(pack_pointwise_s2d(p), x, stride=2, padding=0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_encoder_s2d_in_conv_matches(rng):
+    """The s2d-in-conv stem equals the default packed stem end-to-end."""
+    from s2m2_tpu.config import ModelConfig
+    from s2m2_tpu.models import encoder
+    from s2m2_tpu.models.init import init_params
+
+    cfg = ModelConfig(feature_channels=32, num_transformer=1)
+    params = init_params(cfg, seed=0)["cnn_backbone"]
+    x = jnp.asarray(rng.standard_normal((1, 32, 48, 3)) * 50, jnp.float32)
+    ref = encoder.cnn_encoder(params, x)
+    encoder.set_s2d_in_conv(True)  # conftest _flag_guard restores
+    got = encoder.cnn_encoder(params, x)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=2e-5)

@@ -21,9 +21,11 @@ from .. import flags as _flags
 # Fold space_to_depth into the stem's first conv as a 2x2/s2 strided conv
 # on the raw input (packing.pack_pointwise_s2d): the packed intermediate
 # and its 6D-reshape relayout never materialize. Exactness asserted in
-# tests/test_packing.py; e2e measurement recorded with the flag doc below.
+# tests/test_packing.py. Measured e2e on v5e XL@1216x1024 int8 (same
+# session as the 3.173 mh-4D row): 3.242 FPS (+2.2%) — DEFAULT ON.
+# S2M2_S2D_IN_CONV=0 restores the materialized space_to_depth stem.
 _flags.define_env_bool(
-    "s2d_in_conv", "S2M2_S2D_IN_CONV", "0",
+    "s2d_in_conv", "S2M2_S2D_IN_CONV", "1",
     doc="fold stem space_to_depth into the first conv's access pattern")
 
 

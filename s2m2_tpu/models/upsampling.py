@@ -19,6 +19,31 @@ from . import layers
 from .packing import (concat_packed, depth_to_space, pack_conv_s1,
                       pack_convT2x2, pack_convT3x3, pack_pointwise,
                       space_to_depth)
+from .. import flags as _flags
+
+# Convex-combination contractions as broadcast-multiply+reduce instead of
+# dot_general. A dot's operands must MATERIALIZE, and these operands carry a
+# 9-sized axis that XLA places minor (128-lane pad = 14x): the round-4
+# census charges the f32 softmax outputs + the nearest-upsampled unfold
+# ~5.4 GB of physical copies. A multiply+reduce fuses producer-to-consumer
+# on the VPU (no materialized padded operands); additionally the nearest x2
+# inside upsample4x_packed becomes a RESHAPE OF THE WEIGHTS (index identity
+# (2i+a)//2 == i), so the upsampled unfold tensor never exists. This is NOT
+# the recorded round-3 tap-accumulation counter-example (+33 GB): that
+# unrolled 9 sequential accumulation steps; this is a single fused reduce.
+# MEASURED COUNTER-EXAMPLE (round 5): census +2.0 GB reads+writes (315.3 vs
+# 313.3 — XLA materializes the broadcast-product reduce operands padded
+# anyway) and e2e 3.194 vs 3.242 FPS (-1.5%) on XL@1216x1024 int8 —
+# default OFF; the einsum contraction stays. The ~5.4 GB f32 9-minor family
+# is priced and closed: both reformulation directions (tap unroll r3, fused
+# reduce r5) lose to the materialized-dot-operand form.
+_flags.define_env_bool(
+    "up_reduce", "S2M2_UP_REDUCE", "0",
+    doc="convex upsampling as fused multiply+reduce (measured -1.5%)")
+
+
+def set_up_reduce(enabled: bool):
+    _flags.set_flag("up_reduce", enabled)
 
 
 def upsample_mask_4x(p, feat_x, feat_y):
@@ -110,9 +135,18 @@ def upsample4x_packed(xs, up_weights_packed):
     c = x.shape[-1]
     b, h, w, _ = x.shape
     xu = layers.unfold9(x).reshape(b, h, w, 9, c)      # tap-major
-    xu = layers.upsample_nearest(xu, 2)                # (B,2h,2w,9,C)
     wgt = jax.nn.softmax(up_weights_packed.astype(jnp.float32),
                          axis=-1).astype(x.dtype)      # (B,2h,2w,4,9)
+    if _flags.get("up_reduce"):
+        # nearest x2 == indexing the quarter-res neighborhood at p//2: the
+        # (b,2h,2w,4,9) weights reshape (row-major split, bitcastable) to
+        # (b,h,2,w,2,4,9) and contract against the UN-upsampled unfold —
+        # the (B,2h,2w,9,C) tensor never materializes
+        w6 = wgt.reshape(b, h, 2, w, 2, 4, 9)
+        out = jnp.sum(xu[:, :, None, :, None, None, :, :]
+                      * w6[..., None], axis=-2)        # (b,h,2,w,2,4,c)
+        return out.reshape(b, 2 * h, 2 * w, 4, c)
+    xu = layers.upsample_nearest(xu, 2)                # (B,2h,2w,9,C)
     return jnp.einsum("bpqtc,bpqft->bpqfc", xu, wgt)
 
 
@@ -138,4 +172,6 @@ def upsample1x_multi(x, filter_weights):
     xu = layers.unfold9(x).reshape(b, h, w, 9, c)
     wgt = jax.nn.softmax(filter_weights.astype(jnp.float32),
                          axis=-1).astype(x.dtype)
+    if _flags.get("up_reduce"):
+        return jnp.sum(xu * wgt[..., :, None], axis=-2)
     return jnp.einsum("bhwtc,bhwt->bhwc", xu, wgt)

@@ -32,11 +32,12 @@ PEAK_BW = 819.0
 
 
 def parse_entry_attr(hlo_text):
-    """(src, op, phys_out, log_out, name) per top-level instruction —
-    OUTPUT bytes only (read charges would double-count across
-    instructions); src comes from parse_entry's metadata column."""
-    return [(src, op, o_phys, o_log, name)
-            for name, op, _, _, o_phys, o_log, src in parse_entry(hlo_text)]
+    """(src, op, phys_out, log_out, name, rw) per top-level instruction.
+    phys_out charges OUTPUT bytes only; rw charges output+operand reads
+    (each consumer's read is a real HBM transfer — the measured frame time
+    tracks the rw total)."""
+    return [(src, op, o_phys, o_log, name, rw)
+            for name, op, rw, _, o_phys, o_log, src in parse_entry(hlo_text)]
 
 
 def classify_copies(hlo_text, top=25):
@@ -137,6 +138,9 @@ def main():
     rows = parse_entry_attr(comp.as_text())
     tot_phys = sum(r[2] for r in rows)
     tot_log = sum(r[3] for r in rows)
+    tot_rw = sum(r[5] for r in rows)
+    print(f"reads+writes physical: {tot_rw/1e9:.1f} GB "
+          f"-> {tot_rw/1e9/PEAK_BW*1e3:.1f} ms @819 GB/s")
     print(f"FULL forward {args.model}@{args.width}x{args.height} "
           f"({'int8' if args.int8 else 'bf16'}): "
           f"{tot_phys/1e9:.1f} GB physical vs {tot_log/1e9:.1f} GB logical "
@@ -144,14 +148,19 @@ def main():
           f"phys roofline {tot_phys/1e9/PEAK_BW*1e3:.1f} ms")
     by_src = collections.Counter()
     by_src_log = collections.Counter()
-    for src, op, p, l, _ in rows:
+    by_src_rw = collections.Counter()
+    for src, op, p, l, _, rw in rows:
         by_src[src] += p
         by_src_log[src] += l
+        by_src_rw[src] += rw
     print(f"\ntop {args.top} source lines by physical output bytes:")
     for src, p in by_src.most_common(args.top):
         print(f"  {src:42s} {p/1e9:7.2f} GB phys ({by_src_log[src]/1e9:6.2f} log)")
+    print(f"\ntop {args.top} source lines by reads+writes:")
+    for src, p in by_src_rw.most_common(args.top):
+        print(f"  {src:42s} {p/1e9:7.2f} GB r+w")
     by_op = collections.Counter()
-    for _, op, p, l, _ in rows:
+    for _, op, p, l, _, _ in rows:
         by_op[op] += p
     print("\nby op kind (physical GB):")
     for op, p in by_op.most_common(10):

@@ -80,6 +80,10 @@ def main():
                     help="bf16 mixed-precision training policy")
     ap.add_argument("--no-augment", action="store_true")
     ap.add_argument("--out", default="train_convergence.json")
+    ap.add_argument("--save-ckpt", default=None,
+                    help="save the final trained params as an npz checkpoint "
+                         "(tools.convert_checkpoint layout) — used to commit "
+                         "a TRAINED-weight drift fixture")
     args = ap.parse_args()
 
     cfg = ModelConfig(feature_channels=args.ch, num_transformer=1,
@@ -123,6 +127,13 @@ def main():
                   f"held-out EPE={e:.3f} bad2={b:.3f} "
                   f"({rec['sec']:.0f}s)", flush=True)
 
+    if args.save_ckpt:
+        from s2m2_tpu.tools.convert_checkpoint import flatten, save_npz
+        flat = {k: np.asarray(v, np.float32)
+                for k, v in flatten(params).items()}
+        save_npz(args.save_ckpt, flat)
+        print(f"saved trained checkpoint -> {args.save_ckpt}")
+
     result = {
         "config": {"ch": args.ch, "ntr": 1, "refine_iter": args.refine_iter,
                    "hw": [args.height, args.width],
@@ -133,8 +144,18 @@ def main():
         "init_bad2": b0, "final_bad2": history[-1]["bad2"],
         "history": history,
     }
+    # nest per-policy runs in one record: {"fp32": {...}, "bf16": {...}}
+    key = "bf16" if args.bf16 else "fp32"
+    existing = {}
+    if _os.path.exists(args.out):
+        with open(args.out) as f:
+            existing = json.load(f)
+        if "config" in existing:  # legacy flat schema -> nest it
+            existing = {("bf16" if existing["config"].get("bf16")
+                         else "fp32"): existing}
+    existing[key] = result
     with open(args.out, "w") as f:
-        json.dump(result, f, indent=1)
+        json.dump(existing, f, indent=1)
     print(f"wrote {args.out}: EPE {e0:.2f} -> {history[-1]['epe']:.2f} px "
           f"(bad-2.0 {b0:.2f} -> {history[-1]['bad2']:.2f})")
 

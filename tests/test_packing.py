@@ -212,3 +212,29 @@ def test_encoder_s2d_in_conv_matches(rng):
     got = encoder.cnn_encoder(params, x)
     for r, g in zip(ref, got):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=2e-5)
+
+
+def test_upsample_reduce_matches_einsum(rng):
+    """S2M2_UP_REDUCE reformulates the convex combinations as fused
+    multiply+reduce with the nearest-x2 folded into a weight reshape —
+    identical floats to the einsum forms."""
+    import jax.numpy as jnp
+    from s2m2_tpu.models import upsampling
+
+    b, h, w, c = 2, 8, 10, 3
+    xs = [jnp.asarray(rng.standard_normal((b, h, w, 1)), jnp.float32)
+          for _ in range(c)]
+    mask = jnp.asarray(rng.standard_normal((b, 2 * h, 2 * w, 4, 9)),
+                       jnp.float32)
+    ref4 = upsampling.upsample4x_packed(xs, mask)
+    x_full = jnp.asarray(rng.standard_normal((b, 4 * h, 4 * w, c)),
+                         jnp.float32)
+    filt = jnp.asarray(rng.standard_normal((b, 4 * h, 4 * w, 9)),
+                       jnp.float32)
+    ref1 = upsampling.upsample1x_multi(x_full, filt)
+
+    upsampling.set_up_reduce(True)  # conftest _flag_guard restores
+    got4 = upsampling.upsample4x_packed(xs, mask)
+    got1 = upsampling.upsample1x_multi(x_full, filt)
+    np.testing.assert_allclose(np.asarray(got4), np.asarray(ref4), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(ref1), atol=1e-6)

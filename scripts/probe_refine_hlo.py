@@ -95,10 +95,27 @@ def parse_entry(hlo_text):
         name, shapes_str, op = m.groups()
         shapes = SHAPE_RE.findall(shapes_str)
         o_phys = o_log = 0
-        for dt, dims, lay in shapes:
-            p, l = shape_bytes(dt, dims, lay)
-            o_phys += p
-            o_log += l
+        # VMEM prefetch accounting (round 5): memory-space-assignment emits
+        # copy-start/copy-done pairs staging operands into scratch memory
+        # S(1) (VMEM). Their HBM cost is ONE read of the source (charged as
+        # this instruction's operand read); the S(1) write is on-chip and
+        # the tuple's second element merely aliases the operand. Charging
+        # the full tuple + the done's output triple-counted the buffer
+        # (~19 GB phantom traffic on the XL int8 census).
+        if op == "copy-start" and shapes:
+            first_elem = shapes_str.split("},")[0]  # dest incl. its layout
+            if "S(1)" not in first_elem:
+                # plain async HBM copy: charge the destination once
+                p, l = shape_bytes(*shapes[0])
+                o_phys += p
+                o_log += l
+        elif op == "copy-done":
+            pass  # aliases the copy-start's destination — no new movement
+        else:
+            for dt, dims, lay in shapes:
+                p, l = shape_bytes(dt, dims, lay)
+                o_phys += p
+                o_log += l
         out_bytes[name] = (o_phys, o_log)
         # operand reads: referenced instruction names
         operands = re.findall(r"(%?[\w.\-]+)", s.split(op, 1)[1] if op in s else "")

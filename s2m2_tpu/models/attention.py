@@ -244,6 +244,9 @@ _flags.define_env_bool(
 #     z1 family is ~2x the z2 family, so one uniform sliced path is kept).
 # The heads-as-second-dot-batch-dim forms (nhd/hnd) LOSE everywhere —
 # consistent with the round-3 "+3.9 GB head axis in place" counter-example.
+# The 2D GLOBAL blocks (z3, heads=8, 1216 tokens) keep the fold path:
+# sliced censuses 0.777 vs fold's 0.635 GB r+w there — 8 heads means 24
+# re-reads of zn, and the (2,8,1216,96) split costs only ~8 MB of copies.
 # Full-forward census (attr_phys_traffic --int8): copies 21.9 -> 18.6 GB,
 # total 131.2 -> 128.6 GB, the bf16[256,152,384]x36 fold bucket gone.
 # Measured e2e on v5e XL@1216x1024 int8, same-session A/B: 3.173 vs 3.114

@@ -46,6 +46,29 @@ def set_up_reduce(enabled: bool):
     _flags.set_flag("up_reduce", enabled)
 
 
+# bf16 STORAGE for the convex-combination softmax weights (statistics stay
+# fp32 — same invariant as attention's bf16_scores). The (B,H,W,9) f32
+# weights pad 14x on the lane axis; bf16 halves that family. The x maps
+# themselves (disp/occ/conf state) stay fp32; the contraction accumulates
+# fp32 via preferred_element_type. Census (round 5): -1.0 GB reads+writes
+# (276.8 vs 277.8 on XL int8) ≈ +0.3% predicted — BELOW the ±1.5%
+# measurement noise band, so the flag ships OFF and unmeasured (an e2e row
+# could not distinguish it from noise); drift bounded in test_packing.
+_flags.define_env_bool(
+    "up_bf16_w", "S2M2_UP_BF16_W", "0",
+    doc="bf16 storage for convex-upsampling softmax weights (opt-in)")
+
+
+def set_up_bf16_w(enabled: bool):
+    _flags.set_flag("up_bf16_w", enabled)
+
+
+def _softmax_w(w, out_dtype):
+    """fp32-statistics softmax; storage dtype per the up_bf16_w flag."""
+    store = (jnp.bfloat16 if _flags.get("up_bf16_w") else out_dtype)
+    return jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(store)
+
+
 def upsample_mask_4x(p, feat_x, feat_y):
     """hidden state (1/4 res) + CNN 1/2-res features -> 9-channel convex
     combination weights at full res (reference: submodules.py:96-115)."""
@@ -109,8 +132,8 @@ def upsample4x(x, up_weights):
     (reference: s2m2.py:101-114). x: (B,h,w,1), up_weights: (B,4h,4w,9)."""
     x_unfold = layers.unfold9(x)                       # (B,h,w,9)
     x_unfold = layers.upsample_nearest(x_unfold, 4)    # (B,4h,4w,9)
-    w = jax.nn.softmax(up_weights.astype(jnp.float32), axis=-1).astype(x.dtype)
-    return jnp.sum(x_unfold * w, axis=-1, keepdims=True)
+    w = _softmax_w(up_weights, x.dtype)
+    return jnp.sum(x_unfold * w.astype(x.dtype), axis=-1, keepdims=True)
 
 
 def upsample4x_packed(xs, up_weights_packed):
@@ -135,8 +158,7 @@ def upsample4x_packed(xs, up_weights_packed):
     c = x.shape[-1]
     b, h, w, _ = x.shape
     xu = layers.unfold9(x).reshape(b, h, w, 9, c)      # tap-major
-    wgt = jax.nn.softmax(up_weights_packed.astype(jnp.float32),
-                         axis=-1).astype(x.dtype)      # (B,2h,2w,4,9)
+    wgt = _softmax_w(up_weights_packed, x.dtype)       # (B,2h,2w,4,9)
     if _flags.get("up_reduce"):
         # nearest x2 == indexing the quarter-res neighborhood at p//2: the
         # (b,2h,2w,4,9) weights reshape (row-major split, bitcastable) to
@@ -147,7 +169,8 @@ def upsample4x_packed(xs, up_weights_packed):
                       * w6[..., None], axis=-2)        # (b,h,2,w,2,4,c)
         return out.reshape(b, 2 * h, 2 * w, 4, c)
     xu = layers.upsample_nearest(xu, 2)                # (B,2h,2w,9,C)
-    return jnp.einsum("bpqtc,bpqft->bpqfc", xu, wgt)
+    return jnp.einsum("bpqtc,bpqft->bpqfc", xu, wgt,
+                      preferred_element_type=x.dtype)
 
 
 def upsample1x(disp, filter_weights, output_upsample=False):
@@ -158,8 +181,9 @@ def upsample1x(disp, filter_weights, output_upsample=False):
         b, h, w, c = filter_weights.shape
         filter_weights = jax.image.resize(
             filter_weights, (b, 2 * h, 2 * w, c), method="bilinear")
-    w = jax.nn.softmax(filter_weights.astype(jnp.float32), axis=-1).astype(disp.dtype)
-    return jnp.sum(disp_unfold * w, axis=-1, keepdims=True)
+    w = _softmax_w(filter_weights, disp.dtype)
+    return jnp.sum(disp_unfold * w.astype(disp.dtype), axis=-1,
+                   keepdims=True)
 
 
 def upsample1x_multi(x, filter_weights):
@@ -170,8 +194,8 @@ def upsample1x_multi(x, filter_weights):
     """
     b, h, w, c = x.shape
     xu = layers.unfold9(x).reshape(b, h, w, 9, c)
-    wgt = jax.nn.softmax(filter_weights.astype(jnp.float32),
-                         axis=-1).astype(x.dtype)
+    wgt = _softmax_w(filter_weights, x.dtype)
     if _flags.get("up_reduce"):
-        return jnp.sum(xu * wgt[..., :, None], axis=-2)
-    return jnp.einsum("bhwtc,bhwt->bhwc", xu, wgt)
+        return jnp.sum(xu * wgt[..., :, None].astype(x.dtype), axis=-2)
+    return jnp.einsum("bhwtc,bhwt->bhwc", xu, wgt,
+                      preferred_element_type=x.dtype)

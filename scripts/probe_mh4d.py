@@ -174,13 +174,15 @@ def census(hlo_text):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scale", default="z1", choices=["z1", "z2"])
+    ap.add_argument("--scale", default="z1", choices=["z1", "z2", "z3"])
     ap.add_argument("--blocks", type=int, default=2)
     ap.add_argument("--cpu", action="store_true",
                     help="also assert numeric parity across cores (CPU)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.scale == "z3":
+        return main_z3()
 
     # XL@1216x1024 block shapes (README copy-census family)
     if args.scale == "z1":
@@ -231,6 +233,68 @@ def main():
         for (op, sh), pbytes in buckets.most_common(8):
             print(f"   {op:10s} {sh[:70]:70s} {pbytes/1e6:8.1f} MB")
 
+
+
+
+# --- z3 global-attention (3D token) variants: (2, N, C) with heads=8 -----
+
+def core3d_fold(p, z, nh):
+    b, n, c = z.shape
+    d = c // nh
+    zf = layer_norm(z)
+    split = lambda t: t.reshape(b, n, nh, d).transpose(0, 2, 1, 3)
+    q, k, v = split(zf @ p["q"]), split(zf @ p["k"]), split(zf @ p["v"])
+    score = jnp.einsum("bhic,bhjc->bhij", q * d ** -0.5, k,
+                       preferred_element_type=jnp.bfloat16)
+    out = jnp.einsum("bhij,bhjc->bhic", softmax_bf16(score), v,
+                     preferred_element_type=jnp.bfloat16)
+    out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+    return (out @ p["proj"]) + z
+
+
+def core3d_sliced(p, z, nh):
+    b, n, c = z.shape
+    d = c // nh
+    zf = layer_norm(z)
+    acc = None
+    for h in range(nh):
+        sl = slice(h * d, (h + 1) * d)
+        q, k, v = zf @ p["q"][:, sl], zf @ p["k"][:, sl], zf @ p["v"][:, sl]
+        score = jnp.einsum("bic,bjc->bij", q * d ** -0.5, k,
+                           preferred_element_type=jnp.bfloat16)
+        out = jnp.einsum("bij,bjc->bic", softmax_bf16(score), v,
+                         preferred_element_type=jnp.bfloat16)
+        y = out @ p["proj"][sl, :]
+        acc = y if acc is None else acc + y
+    return acc + z
+
+
+def main_z3():
+    shape, nh = (2, 1216, 768), 8  # XL z3: 32x38 tokens
+    b, n, c = shape
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
+    mk = lambda: jnp.asarray(
+        rng.standard_normal((c, c)) / np.sqrt(c), jnp.bfloat16)
+    params = [{k: mk() for k in ("q", "k", "v", "proj")} for _ in range(2)]
+    fparams = [(mk(), mk()) for _ in range(2)]
+
+    def stack(core):
+        def fn(ps, fps, x):
+            for p, (w1, w2) in zip(ps, fps):
+                x = core(p, x, nh)
+                x = (jax.nn.gelu(layer_norm(x) @ w1) @ w2) + x
+            return x
+        return fn
+
+    for name, core in (("fold3d", core3d_fold), ("sliced3d", core3d_sliced)):
+        comp = jax.jit(stack(core)).lower(params, fparams, z).compile()
+        by_op, buckets = census(comp.as_text())
+        tot = sum(by_op.values())
+        rw = sum(r[2] for r in parse_entry(comp.as_text()))
+        cp = by_op.get("copy", 0) + by_op.get("transpose", 0)
+        print(f"== {name}: out phys {tot/1e9:.3f} GB "
+              f"(reads+writes {rw/1e9:.3f}), copy+transpose {cp/1e9:.3f} ==")
 
 if __name__ == "__main__":
     main()

@@ -238,3 +238,27 @@ def test_upsample_reduce_matches_einsum(rng):
     got1 = upsampling.upsample1x_multi(x_full, filt)
     np.testing.assert_allclose(np.asarray(got4), np.asarray(ref4), atol=1e-6)
     np.testing.assert_allclose(np.asarray(got1), np.asarray(ref1), atol=1e-6)
+
+
+def test_up_bf16_weight_storage_bounded(rng):
+    """S2M2_UP_BF16_W stores the convex-combination softmax weights bf16
+    (fp32 statistics kept). Probabilities are in [0,1] so bf16 rounding is
+    <=2^-9 relative; the convex combination of disparities changes by at
+    most max|disp| * 9 * 2^-9-ish — bound it empirically."""
+    import jax.numpy as jnp
+    from s2m2_tpu.models import upsampling
+
+    b, h, w = 1, 8, 10
+    xs = [jnp.asarray(rng.uniform(0, 30, (b, h, w, 1)), jnp.float32)]
+    mask = jnp.asarray(rng.standard_normal((b, 2 * h, 2 * w, 4, 9)),
+                       jnp.float32)
+    x_full = jnp.asarray(rng.uniform(0, 30, (b, 4 * h, 4 * w, 1)),
+                         jnp.float32)
+    filt = jnp.asarray(rng.standard_normal((b, 4 * h, 4 * w, 9)), jnp.float32)
+    ref4 = np.asarray(upsampling.upsample4x_packed(xs, mask))
+    ref1 = np.asarray(upsampling.upsample1x_multi(x_full, filt))
+    upsampling.set_up_bf16_w(True)  # conftest _flag_guard restores
+    got4 = np.asarray(upsampling.upsample4x_packed(xs, mask))
+    got1 = np.asarray(upsampling.upsample1x_multi(x_full, filt))
+    assert np.abs(got4 - ref4).max() < 0.15   # px, |disp|<=30 here
+    assert np.abs(got1 - ref1).max() < 0.15

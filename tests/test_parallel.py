@@ -183,3 +183,24 @@ def test_aot_band_sharded_xl_int8_compiles_with_collectives():
     assert colls["all-gather"] > 50, colls
     out_sh = comp.output_shardings[0]
     assert "band" in str(out_sh.spec), out_sh
+
+
+def test_mesh_scaling_accounting_runs():
+    """scripts/estimate_mesh_scaling.py (the compile-derived 2-chip scaling
+    accounting) must keep running end-to-end: walks both compiled modules,
+    finds collectives in the partitioned one, and prints the efficiency
+    bounds. Smoke at S-scale/small-res so CI stays fast."""
+    import re
+    import subprocess
+    import sys
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts",
+                                      "estimate_mesh_scaling.py"),
+         "--model", "S", "--width", "320", "--height", "256"],
+        capture_output=True, text=True, timeout=900, check=True).stdout
+    m = re.search(r"collectives: (\d+) ops", out)
+    assert m and int(m.group(1)) > 0, out
+    assert "latency scaling eff" in out, out

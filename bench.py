@@ -26,10 +26,11 @@ BASELINE_FPS = {  # TensorRT fp16 on RTX 5090 (reference README.md:63-122)
 
 # Measured-best deployment precision per variant on v5e at 1216x1024
 # (README table): compute-bound wide variants win with the int8 MXU path
-# (XL 3.141 int8 vs 2.652 bf16; L 4.708 vs 4.281); the bandwidth-bound S
-# loses (9.84 vs 10.38) and M's C=192 tiles poorly for int8 (4.48 vs
-# 5.46; the aligned-only int8a recovers parity at 5.448 but no win).
-# All int8 rows are drift-bounded (tests/test_quant.py).
+# (round-5 defaults: XL 3.242 int8 vs 2.652 bf16; L 4.859 vs 4.281); the
+# bandwidth-bound S loses with int8 (9.84 vs bf16's 10.557) and M's C=192
+# tiles poorly for int8 (4.48 vs 5.562; the aligned-only int8a recovers
+# parity but no win). All int8 rows are drift-bounded (tests/test_quant.py
+# + tests/test_trained_drift.py under trained weights).
 BEST_PRECISION = {"S": "bf16", "M": "bf16", "L": "int8", "XL": "int8"}
 
 

@@ -18,7 +18,12 @@ Candidates (all numerically equal to the fold path, asserted on CPU):
   V3 sliced   — h independent (B,R,W,d) heads via weight column slices;
                 proj = sum of per-head dots (concat-contraction identity)
 
-Usage: python scripts/probe_mh4d.py [--scale z1|z2] [--blocks 2] [--cpu]
+Usage: python scripts/probe_mh4d.py [--scale z1|z2|z3] [--blocks 2] [--cpu]
+
+z3 probes the 2D GLOBAL bottleneck (3D token form, heads=8): fold 0.635 vs
+sliced 0.777 GB reads+writes — the fold path stays there (24 re-reads of zn
+outweigh ~8 MB of split copies). sliced_qkv (per-head fused qkv GEMM) wins
+z2 narrowly but regresses z1 badly; one uniform sliced path shipped.
 """
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))

@@ -60,6 +60,12 @@ def test_flag_matrix_parity(tiny_forward):
     dot_1x1, gn_affine) differ only by float reassociation."""
     base = tiny_forward()
     snap = flags.snapshot()
+    # PRECISION flags deliberately round a stored tensor (not exact
+    # rewrites): allow their documented rounding-level drift. up_bf16_w
+    # stores the convex-upsampling softmax weights bf16 even on the fp32
+    # path (measured 0.0066 px on this fixture; dedicated bound in
+    # tests/test_packing.py::test_up_bf16_weight_storage_bounded).
+    tol = {"up_bf16_w": 0.05}
     for name in flags.names():
         try:
             flags.set_flag(name, not snap[name])
@@ -69,5 +75,5 @@ def test_flag_matrix_parity(tiny_forward):
         for g, b, tag in zip(got, base, ("disp", "occ", "conf")):
             assert np.isfinite(g).all(), f"{name}: non-finite {tag}"
             np.testing.assert_allclose(
-                g, b, atol=1e-3,
+                g, b, atol=tol.get(name, 1e-3),
                 err_msg=f"flag {name} changed {tag} beyond tolerance")
